@@ -1,0 +1,55 @@
+package graft.kernels
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.linalg.{Select2ndMin, SpMV}
+
+/** Connected components via FastSV-style min-label iteration
+  * (reference Applications/FastSV.h:335-374; LACC semantics CC.h:1404-1544).
+  *
+  * Each iteration over symmetric edges:
+  *   1. mngp(v)  = min over in-neighbors u of f(u)        — SpMV⟨Select2ndMin⟩
+  *   2. hooking  : cand(f(v)) = min(mngp(v)) grouped by f(v) — the scatter
+  *      with min-duplicate-reduction of reference CC.h:746-1028 `Assign`,
+  *      realized as groupBy(target).agg(min) (partial agg = their
+  *      pre-reduction of duplicates before the wire, CC.h:580-737)
+  *   3. shortcut : f(v) = f(f(v))                          — pointer jumping,
+  *      a self-join (reference FastSV.h:359-366 `Extract` gather)
+  * Converges in O(log n) rounds to the min vertex id per component — exact
+  * labels, matching LACC's `LabelCC` semantics.
+  */
+object ConnectedComponents {
+
+  /** @param edges symmetric (src, dst); @return (vid: long, component: long) */
+  def run(edges: DataFrame, vertices: DataFrame, maxIters: Int = 50): DataFrame = {
+    var f = vertices.select(col("v"), col("v").as("label")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      it += 1
+      // 1. neighbor-min of current labels
+      val mngp = SpMV(edges, f.select(col("v"), col("label").as("xv")), Select2ndMin)
+        .select(col("v"), col("yv").as("mngp"))
+      // 2. hook: propose min(mngp(v)) to each current root f(v)
+      val hooks = f.join(mngp, Seq("v"))
+        .groupBy(col("label").as("v"))
+        .agg(min(col("mngp")).as("cand"))
+      val hooked = f.join(mngp, Seq("v"), "left").join(hooks, Seq("v"), "left")
+        .select(col("v"),
+          least(col("label"),
+            coalesce(col("mngp"), col("label")),
+            coalesce(col("cand"), col("label"))).as("label"))
+      // 3. shortcut: f(v) = f(f(v))
+      val parents = hooked.select(col("label").as("pv"), col("v"))
+      val next = parents
+        .join(hooked.select(col("v").as("pv"), col("label").as("glabel")), Seq("pv"))
+        .select(col("v"), col("glabel").as("label"))
+        .localCheckpoint()
+      changed = next.join(f.withColumnRenamed("label", "old"), Seq("v"))
+        .where(col("label") =!= col("old")).count()
+      f.unpersist(false)
+      f = next
+    }
+    f.select(col("v").as("vid"), col("label").as("component"))
+  }
+}

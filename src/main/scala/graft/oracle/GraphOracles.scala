@@ -1,0 +1,95 @@
+package graft.oracle
+
+/** DuckDB-runnable ANSI SQL oracles for the graph kernels.
+  *
+  * Each oracle derives the SAME deterministic link graph as
+  * [[graft.graph.LinkGraph]] (parts co-occurring in an order) and evaluates
+  * the kernel by unrolled / recursive SQL. Numeric literals are CAST to
+  * DOUBLE explicitly — DuckDB would otherwise type bare decimals as
+  * DECIMAL and diverge from Spark's double arithmetic.
+  */
+object GraphOracles {
+
+  /** Shared CTE prelude: li / edges / verts. Must be opened with
+    * WITH RECURSIVE so the CC/BFS oracles can recurse. */
+  val edgesCte: String =
+    """li AS (SELECT l_orderkey AS ok, l_partkey FROM lineitem),
+      |edges AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |          FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey <> b.l_partkey),
+      |verts AS MATERIALIZED (SELECT DISTINCT l_partkey AS v FROM lineitem)""".stripMargin
+
+  private def dbl(x: Double): String = s"CAST('${x}' AS DOUBLE)"
+
+  def pagerankSql(iters: Int = 10, d: Double = 0.85): String = {
+    val head =
+      s"""WITH RECURSIVE $edgesCte,
+         |deg AS MATERIALIZED (SELECT src AS v, count(*) AS outdeg FROM edges GROUP BY src),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM verts),
+         |pr0 AS MATERIALIZED (SELECT v, ${dbl(1.0)}/(SELECT n FROM nn) AS r FROM verts)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = s"pr${i - 1}"
+      s"""pr$i AS MATERIALIZED (
+         |  SELECT vv.v,
+         |    ${dbl(1.0 - d)}/(SELECT n FROM nn) + ${dbl(d)}*(COALESCE(c.s, ${dbl(0.0)}) +
+         |      (SELECT COALESCE(sum(p.r), ${dbl(0.0)}) FROM $p p
+         |       WHERE p.v NOT IN (SELECT v FROM deg))/(SELECT n FROM nn)) AS r
+         |  FROM verts vv
+         |  LEFT JOIN (SELECT e.dst AS v, sum(p.r/dg.outdeg) AS s
+         |             FROM edges e JOIN $p p ON e.src = p.v JOIN deg dg ON dg.v = e.src
+         |             GROUP BY e.dst) c ON c.v = vv.v)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT v AS vid, round(r, 6) AS pr FROM pr$iters ORDER BY vid"
+  }
+
+  def ccSql: String =
+    s"""WITH RECURSIVE $edgesCte,
+       |comp(v, l) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT e.dst, c.l FROM comp c JOIN edges e ON e.src = c.v
+       |)
+       |SELECT v AS vid, CAST(min(l) AS BIGINT) AS component
+       |FROM comp GROUP BY v ORDER BY vid""".stripMargin
+
+  def labelPropSql(rounds: Int = 5): String = {
+    val head =
+      s"""WITH RECURSIVE $edgesCte,
+         |lbl0 AS MATERIALIZED (SELECT v, v AS label FROM verts)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      val p = s"lbl${i - 1}"
+      s"""lbl$i AS MATERIALIZED (
+         |  SELECT l.v, COALESCE(b.newlabel, l.label) AS label
+         |  FROM $p l LEFT JOIN (
+         |    SELECT v, label AS newlabel FROM (
+         |      SELECT cnt.v, cnt.label,
+         |             row_number() OVER (PARTITION BY cnt.v
+         |                                ORDER BY cnt.c DESC, cnt.label ASC) AS rn
+         |      FROM (SELECT e.dst AS v, l2.label, count(*) AS c
+         |            FROM edges e JOIN $p l2 ON e.src = l2.v
+         |            GROUP BY e.dst, l2.label) cnt) rk
+         |    WHERE rn = 1) b ON b.v = l.v)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT v AS vid, CAST(label AS BIGINT) AS label FROM lbl$rounds ORDER BY vid"
+  }
+
+  def trianglesSql: String =
+    s"""WITH RECURSIVE $edgesCte,
+       |l AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < dst)
+       |SELECT CAST(count(*) AS BIGINT) AS triangles
+       |FROM (SELECT e1.src AS a, e2.dst AS c
+       |      FROM l e1 JOIN l e2 ON e1.dst = e2.src) w
+       |JOIN l e3 ON e3.src = w.a AND e3.dst = w.c""".stripMargin
+
+  def bfsSql(maxDepth: Int = 10): String =
+    s"""WITH RECURSIVE $edgesCte,
+       |bfs(v, d) AS (
+       |  SELECT CAST((SELECT min(v) FROM verts) AS BIGINT), 0
+       |  UNION
+       |  SELECT e.dst, b.d + 1 FROM bfs b JOIN edges e ON e.src = b.v
+       |  WHERE b.d < $maxDepth
+       |)
+       |SELECT v AS vid, CAST(min(d) AS BIGINT) AS dist
+       |FROM bfs GROUP BY v ORDER BY vid""".stripMargin
+}
