@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.kernels._
+
+/** Golden tests on micro-graphs (FIXTURES.md §4: sevenvertex, triangle3,
+  * star, twochains) + differential tests vs the in-driver brute-force
+  * oracles on a seeded random graph — the MultTest-style golden comparison
+  * of the reference (ReleaseTests/MultTest.cpp:104-140).
+  */
+class KernelSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // sevenvertex: two components {0,1,2,3} (with a triangle 0-1-2) and {4,5,6} (path)
+  val seven = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (4L, 5L), (5L, 6L))
+  val triangle3 = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L)) // one triangle + pendant
+  val star5 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L))
+  val twochains = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L))
+
+  def checkAll(pairs: Seq[(Long, Long)], name: String): Unit = {
+    val e = undirected(pairs)
+    val v = verticesOf(pairs)
+    val edgeSeq = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+    val vertSeq = edgeSeq.flatMap(p => Seq(p._1, p._2)).distinct
+
+    val pr = PageRank.runExact(e, v, 10, 0.85).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prRef = RefKernels.pageRank(edgeSeq, vertSeq)
+    assert(pr.keySet == prRef.keySet, s"$name pagerank vertex set")
+    for ((k, x) <- pr) assert(math.abs(x - prRef(k)) < 1e-9, s"$name pagerank $k: $x vs ${prRef(k)}")
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, s"$name pagerank mass")
+
+    val cc = ConnectedComponents.run(e, v).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == RefKernels.components(edgeSeq, vertSeq), s"$name cc")
+
+    val lp = LabelPropagation.run(e, v).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp == RefKernels.labelProp(edgeSeq, vertSeq), s"$name lp")
+
+    val tc = Triangles.count(e).collect()(0).getLong(0)
+    assert(tc == RefKernels.triangles(edgeSeq), s"$name tricnt")
+
+    val root = vertSeq.min
+    val bfs = BFS.levels(e, root).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bfs == RefKernels.bfs(edgeSeq, root), s"$name bfs")
+  }
+
+  test("sevenvertex golden")  { checkAll(seven, "sevenvertex") }
+  test("triangle3 golden")    { checkAll(triangle3, "triangle3") }
+  test("star5 golden")        { checkAll(star5, "star5") }
+  test("twochains golden")    { checkAll(twochains, "twochains") }
+
+  test("seeded random graph differential (80v/300e)") {
+    checkAll(RefKernels.randomGraph(80, 300, seed = 7L), "rand80")
+  }
+
+  test("triangle3 has exactly 1 triangle; star has 0") {
+    assert(Triangles.count(undirected(triangle3)).collect()(0).getLong(0) == 1L)
+    assert(Triangles.count(undirected(star5)).collect()(0).getLong(0) == 0L)
+  }
+
+  test("cc finds two components on sevenvertex with min-id labels") {
+    val cc = ConnectedComponents.run(undirected(seven), verticesOf(seven))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
+
+  test("pagerank is invariant to input partitioning") {
+    val e = undirected(seven)
+    val v = verticesOf(seven)
+    val a = PageRank.run(e, v).collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val b = PageRank.run(e.repartition(13), v.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+}
