@@ -2,9 +2,11 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.LinkGraph
+import graft.graph.{Dictionary, LinkGraph}
 import graft.kernels._
-import graft.oracle.GraphOracles
+import graft.linalg.{MinPlus, PlusTimes, SpMV}
+import graft.operators.{MatrixOps, VectorOps}
+import graft.oracle.{GraphOracles, OpOracles, TextOracles}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -34,6 +36,81 @@ object SparkEntry {
       val root = verts.agg(min(col("v"))).first().getLong(0)
       BFS.levels(LinkGraph.edges(s, dir), root).orderBy("vid")
     }),
+    "reduce_row" -> ((s, dir) =>
+      MatrixOps.reduceRows(LinkGraph.weightedEdges(s, dir)).orderBy("v")),
+    "masked_reduce" -> ((s, dir) => {
+      val mask = LinkGraph.outDegrees(LinkGraph.edges(s, dir))
+        .where(col("outdeg") > 115).select("v")
+      MatrixOps.maskedReduceRows(LinkGraph.weightedEdges(s, dir), mask).orderBy("v")
+    }),
+    "kselect3" -> ((s, dir) =>
+      MatrixOps.kselectPerColumn(LinkGraph.weightedEdges(s, dir), 3).orderBy("v", "rn")),
+    "spmv_plustimes" -> ((s, dir) => {
+      val x = LinkGraph.vertices(s, dir)
+        .select(col("v"), (col("v") % 7 + 1).cast("double").as("xv"))
+      SpMV(LinkGraph.weightedEdges(s, dir), x, PlusTimes).orderBy("v")
+    }),
+    "spmv_minplus" -> ((s, dir) => {
+      val x = LinkGraph.vertices(s, dir)
+        .select(col("v"), col("v").cast("double").as("xv"))
+      SpMV(LinkGraph.weightedEdges(s, dir), x, MinPlus).orderBy("v")
+    }),
+    "spgemm_rowstats" -> ((s, dir) => {
+      val e = LinkGraph.edges(s, dir)
+      MatrixOps.spgemm(e, e, PlusTimes)
+        .groupBy(col("src").as("v"))
+        .agg(count(lit(1)).as("nnz"), sum(col("w")).cast("long").as("total"))
+        .orderBy("v")
+    }),
+    "ewise_mask" -> ((s, dir) => {
+      val e = LinkGraph.edges(s, dir)
+      val a2 = MatrixOps.spgemm(e, e, PlusTimes).select("src", "dst")
+      val inter = MatrixOps.ewiseIntersect(a2, e)
+        .agg(count(lit(1)).as("intersect_nnz"))
+      val excl = MatrixOps.ewiseExclude(a2, e)
+        .agg(count(lit(1)).as("exclude_nnz"))
+      inter.crossJoin(excl)
+    }),
+    "prune_split" -> ((s, dir) =>
+      LinkGraph.edges(s, dir).groupBy(col("src").as("v"))
+        .agg(sum(when(col("src") > col("dst"), 1).otherwise(0)).cast("long").as("lower_nnz"),
+             sum(when(col("src") < col("dst"), 1).otherwise(0)).cast("long").as("upper_nnz"))
+        .orderBy("v")),
+    "dict_parts" -> ((s, dir) =>
+      Dictionary.encode(Tables.part(s, dir).select("p_name"), "p_name").orderBy("p_name")),
+    "sort_perm" -> ((s, dir) =>
+      VectorOps.sortPerm(Tables.part(s, dir).select("p_partkey", "p_retailprice"),
+          Seq(col("p_retailprice"), col("p_partkey")))
+        .select("p_partkey", "rank").orderBy("p_partkey")),
+    "text_tokens" -> ((s, dir) =>
+      text.TextOps.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")),
+    "text_quality" -> ((s, dir) =>
+      text.TextOps.quality(Tables.documents(s, dir)).orderBy("doc_id")),
+    "text_langid" -> ((s, dir) =>
+      text.TextOps.langId(Tables.documents(s, dir)).orderBy("doc_id")),
+    "text_fingerprint" -> ((s, dir) =>
+      text.TextOps.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
+    "dedup_exact" -> ((s, dir) =>
+      dedup.Dedup.exact(Tables.documents(s, dir)).orderBy("fp")),
+    "dedup_minhash" -> ((s, dir) =>
+      dedup.Dedup.minhash(Tables.documents(s, dir)).orderBy("doc_id")),
+    "dedup_lsh_pairs" -> ((s, dir) =>
+      dedup.Dedup.lshCandidates(Tables.documents(s, dir)).orderBy("a", "b")),
+    "dedup_jaccard" -> ((s, dir) =>
+      dedup.Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.05).orderBy("a", "b")),
+    "dedup_simhash" -> ((s, dir) =>
+      dedup.Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+    "ann_topk" -> ((s, dir) =>
+      sim.Ann.cosineTopK(Tables.embeddings(s, dir), 20, 5).orderBy("qid", "rank")),
+    "embed_norms" -> ((s, dir) =>
+      sim.Ann.norms(Tables.embeddings(s, dir)).orderBy("vec_id")),
+    "ann_buckets" -> ((s, dir) =>
+      sim.Ann.signBuckets(Tables.embeddings(s, dir), 8)
+        .groupBy("bucket").agg(count(lit(1)).as("n")).orderBy("bucket")),
+    "events_window" -> ((s, dir) =>
+      streaming.EventOps.hourlyWindow(Tables.events(s, dir)).orderBy("hour", "event_type")),
+    "events_sessions" -> ((s, dir) =>
+      streaming.EventOps.sessionCounts(Tables.events(s, dir)).orderBy("user_id")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -44,5 +121,29 @@ object SparkEntry {
     "labelprop" -> GraphOracles.labelPropSql(),
     "tricnt" -> GraphOracles.trianglesSql,
     "bfs_levels" -> GraphOracles.bfsSql(),
+    "reduce_row" -> OpOracles.reduceRowsSql,
+    "masked_reduce" -> OpOracles.maskedReduceSql(115),
+    "kselect3" -> OpOracles.kselectSql(3),
+    "spmv_plustimes" -> OpOracles.spmvPlusTimesSql,
+    "spmv_minplus" -> OpOracles.spmvMinPlusSql,
+    "spgemm_rowstats" -> OpOracles.spgemmRowStatsSql,
+    "ewise_mask" -> OpOracles.ewiseMaskSql,
+    "prune_split" -> OpOracles.pruneSplitSql,
+    "dict_parts" -> OpOracles.dictPartsSql,
+    "sort_perm" -> OpOracles.sortPermSql,
+    "text_tokens" -> TextOracles.textTokensSql,
+    "text_quality" -> TextOracles.textQualitySql,
+    "text_langid" -> TextOracles.textLangIdSql,
+    "text_fingerprint" -> TextOracles.fingerprintSql,
+    "dedup_exact" -> TextOracles.dedupExactSql,
+    "dedup_minhash" -> TextOracles.minhashSql,
+    "dedup_lsh_pairs" -> TextOracles.lshPairsSql,
+    "dedup_jaccard" -> TextOracles.ngramJaccardSql(3, "0.05"),
+    "dedup_simhash" -> TextOracles.simhashSql,
+    "ann_topk" -> TextOracles.annTopKSql(20, 5),
+    "embed_norms" -> TextOracles.embedNormsSql,
+    "ann_buckets" -> TextOracles.annBucketsSql(8),
+    "events_window" -> TextOracles.eventsWindowSql,
+    "events_sessions" -> TextOracles.eventsSessionsSql(1800),
   )
 }

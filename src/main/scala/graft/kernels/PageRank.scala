@@ -2,6 +2,7 @@ package graft.kernels
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.checkpoint.SnapshotStore
 import graft.linalg.{PlusTimes, SpMV}
 
 /** PageRank over the (+, *) semiring — the flagship SpMV iteration.
@@ -20,8 +21,10 @@ import graft.linalg.{PlusTimes, SpMV}
   *    per-iteration driver action on the hot path);
   *  - `localCheckpoint` truncates lineage every iteration so planning cost
   *    stays O(1) in the iteration count (the analog of CombBLAS mutating
-  *    vectors in place). On a real cluster this becomes a reliable
-  *    checkpoint via [[graft.checkpoint.SnapshotStore]].
+  *    vectors in place);
+  *  - [[resumable]] commits every iteration to a [[SnapshotStore]]
+  *    (Iceberg-style manifest with per-partition lineage + nnz/flop
+  *    metrics) and restarts bit-exactly from the latest snapshot.
   */
 object PageRank {
 
@@ -31,40 +34,75 @@ object PageRank {
     runExact(edges, vertices, iters, d)
       .select(col("v").as("vid"), round(col("r"), 6).as("pr"))
 
+  private case class Ctx(edges: DataFrame, outdeg: DataFrame,
+                         verts: DataFrame, n: Long, nnz: Long)
+
+  private def prepare(edges: DataFrame, vertices: DataFrame): Ctx = {
+    val n = vertices.count()
+    val outdeg = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("outdeg"))
+      .persist()
+    val verts = vertices.persist()
+    val e = edges.persist()
+    val nnz = e.count()
+    Ctx(e, outdeg, verts, n, nnz)
+  }
+
+  /** One synchronous iteration (pure function of the previous vector). */
+  private def step(ctx: Ctx, pr: DataFrame, d: Double): DataFrame = {
+    val x = pr.join(ctx.outdeg.withColumnRenamed("v", "v"), Seq("v"), "inner")
+      .select(col("v"), (col("r") / col("outdeg")).as("xv"))
+    val contribs = SpMV(ctx.edges, x, PlusTimes)
+    val sink = pr.join(ctx.outdeg, Seq("v"), "left_anti")
+      .agg(coalesce(sum(col("r")), lit(0.0)).as("sinkSum"))
+    ctx.verts.join(contribs.withColumnRenamed("yv", "s"), Seq("v"), "left")
+      .crossJoin(broadcast(sink))
+      .select(col("v"),
+        (lit((1 - d) / ctx.n) +
+          lit(d) * (coalesce(col("s"), lit(0.0)) + col("sinkSum") / ctx.n)).as("r"))
+  }
+
   /** Unrounded ranks (v: long, r: double). */
   def runExact(edges: DataFrame, vertices: DataFrame, iters: Int,
                d: Double): DataFrame = {
-    val spark = edges.sparkSession
-    val n = vertices.count()
-
-    val outdeg = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("outdeg"))
-    // Static per-edge operand: (src, dst, outdeg(src)) — built once, reused
-    // every iteration. Normalization at the source is CombBLAS DimApply
-    // (reference SpParMat.cpp:801-887).
-    val edgesDeg = edges.join(outdeg.withColumnRenamed("v", "src"), "src")
-      .select(col("src"), col("dst"), col("outdeg"))
-      .persist()
-    edgesDeg.count() // materialize before iterating
-
-    val verts = vertices.persist()
-    var pr = verts.select(col("v"), lit(1.0 / n).as("r")).localCheckpoint()
-
+    val ctx = prepare(edges, vertices)
+    var pr = ctx.verts.select(col("v"), lit(1.0 / ctx.n).as("r")).localCheckpoint()
     for (_ <- 1 to iters) {
-      val x = pr.join(outdeg, Seq("v"), "inner")
-        .select(col("v"), (col("r") / col("outdeg")).as("xv"))
-      val contribs = SpMV(edgesDeg.select("src", "dst"), x, PlusTimes)
-      // Dangling (outdeg = 0) mass, kept lazy as a 1-row broadcastable DF.
-      val sink = pr.join(outdeg, Seq("v"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0.0)).as("sinkSum"))
       val prev = pr
-      pr = verts.join(contribs.withColumnRenamed("yv", "s"), Seq("v"), "left")
-        .crossJoin(broadcast(sink))
-        .select(col("v"),
-          (lit((1 - d) / n) + lit(d) * (coalesce(col("s"), lit(0.0)) + col("sinkSum") / n)).as("r"))
-        .localCheckpoint()
+      pr = step(ctx, pr, d).localCheckpoint()
       prev.unpersist(false)
     }
-    edgesDeg.unpersist(false)
+    ctx.edges.unpersist(false); ctx.outdeg.unpersist(false)
+    pr
+  }
+
+  /** Checkpointed run: commits every iteration's vector to `store` and
+    * resumes from the latest snapshot (bit-exact continuation). Pass
+    * `stopAfter` to abandon the run mid-way (crash simulation / test).
+    * @return (v, r) at the last completed iteration ≤ iters */
+  def resumable(edges: DataFrame, vertices: DataFrame, store: SnapshotStore,
+                iters: Int = 10, d: Double = 0.85,
+                stopAfter: Option[Int] = None): DataFrame = {
+    val spark = edges.sparkSession
+    val ctx = prepare(edges, vertices)
+    val resumed = store.latest()
+    var iter = resumed.map(_.iteration).getOrElse(0)
+    var pr = resumed match {
+      case Some(s) => store.load(spark, s).localCheckpoint()
+      case None =>
+        val init = ctx.verts.select(col("v"), lit(1.0 / ctx.n).as("r")).localCheckpoint()
+        store.commit(init, 0, ctx.nnz, 0L)
+        init
+    }
+    val limit = stopAfter.map(s => math.min(s, iters)).getOrElse(iters)
+    while (iter < limit) {
+      iter += 1
+      val prev = pr
+      pr = step(ctx, pr, d).localCheckpoint()
+      // 2 flops per stored edge per SpMV iteration (multiply + add).
+      store.commit(pr, iter, ctx.nnz, 2L * ctx.nnz)
+      prev.unpersist(false)
+    }
+    ctx.edges.unpersist(false); ctx.outdeg.unpersist(false)
     pr
   }
 }

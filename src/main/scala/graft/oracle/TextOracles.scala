@@ -1,0 +1,150 @@
+package graft.oracle
+
+/** DuckDB oracles for the text / dedup / similarity / events operators.
+  * Tokenization matches graft.text.TextOps (split on a single literal
+  * space, empty tokens kept). All hashes are md5 hex — engine-neutral. */
+object TextOracles {
+
+  def textTokensSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(list_sum(list_transform(string_split(text,' '), t -> length(t))) AS DOUBLE)
+      |    / CAST(len(string_split(text,' ')) AS DOUBLE) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def textQualitySql: String =
+    """SELECT doc_id, n_tokens, n_stop,
+      |  CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stop_ratio,
+      |  CASE WHEN n_tokens < 20 THEN 'short'
+      |       WHEN CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) < CAST('0.01' AS DOUBLE) THEN 'low_stop'
+      |       ELSE 'ok' END AS quality
+      |FROM (SELECT doc_id,
+      |        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+      |        CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS BIGINT) AS n_stop
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  def textLangIdSql: String =
+    """SELECT doc_id, lang AS declared_lang,
+      |  CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stop_ratio,
+      |  CASE WHEN CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) >= CAST('0.02' AS DOUBLE)
+      |       THEN 'en' ELSE 'other' END AS predicted_lang
+      |FROM (SELECT doc_id, lang,
+      |        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+      |        CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS BIGINT) AS n_stop
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  def fingerprintSql: String =
+    "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
+
+  def dedupExactSql: String =
+    """SELECT md5(text) AS fp, min(doc_id) AS rep_doc_id, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin
+
+  /** Char-5-shingle CTE + 8 minhash signatures (shared prelude). */
+  private val sigCte: String = {
+    val mins = (0 until 8).map(j => s"min(md5('$j'||s)) AS sig$j").mkString(", ")
+    s"""sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, unnest([substr(text, i, 5) for i in range(1, length(text)-3)]) AS s
+       |  FROM documents WHERE length(text) >= 5),
+       |sig AS MATERIALIZED (SELECT doc_id, $mins FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  def minhashSql: String =
+    s"WITH $sigCte\nSELECT * FROM sig ORDER BY doc_id"
+
+  def lshPairsSql: String = {
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(sig${2 * b}||sig${2 * b + 1}) AS bucket FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $sigCte,
+       |b AS MATERIALIZED (
+       |  $bands)
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+       |ORDER BY a, b""".stripMargin
+  }
+
+  def ngramJaccardSql(n: Int = 3, minJaccard: String = "0.05"): String =
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, g FROM (
+       |    SELECT doc_id,
+       |           unnest([list_aggregate(toks[i:i+${n - 1}], 'string_agg', ' ')
+       |                   for i in range(1, len(toks)-${n - 2})]) AS g
+       |    FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)) t
+       |  WHERE g IS NOT NULL),
+       |sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+       |inter AS MATERIALIZED (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM g x JOIN g y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2)
+       |SELECT a, b, inter,
+       |       CAST(inter AS DOUBLE)/CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+       |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+       |WHERE CAST(inter AS DOUBLE)/CAST(sa.sz + sb.sz - inter AS DOUBLE) >= CAST('$minJaccard' AS DOUBLE)
+       |ORDER BY a, b""".stripMargin
+
+  def simhashSql: String = {
+    val sums = (0 until 32).map { j =>
+      val nib = s"(strpos('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1)"
+      s"sum(CASE WHEN ((($nib >> ${3 - j % 4}) & 1) = 1) THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(",\n         ")
+    val assemble = (0 until 32)
+      .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << (31 - j)} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents) t),
+       |h AS MATERIALIZED (SELECT doc_id, md5(tok) AS h FROM toks),
+       |sums AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         $sums
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  private val annBase: String =
+    """base AS MATERIALIZED (
+      |  SELECT vec_id, embedding::DOUBLE[] AS e,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |  FROM embeddings)""".stripMargin
+
+  def annTopKSql(nQueries: Int = 20, k: Int = 5): String =
+    s"""WITH $annBase,
+       |scored AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |         list_dot_product(q.e, c.e)/(q.norm*c.norm) AS cos
+       |  FROM base q JOIN base c ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id)
+       |SELECT qid, nid, rank FROM (
+       |  SELECT qid, nid,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  def embedNormsSql: String =
+    s"WITH $annBase\nSELECT vec_id, norm FROM base ORDER BY vec_id"
+
+  def annBucketsSql(bits: Int = 8): String = {
+    val bucket = (0 until bits)
+      .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM (
+       |  SELECT vec_id, CAST($bucket AS BIGINT) AS bucket FROM embeddings) t
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  def eventsWindowSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def eventsSessionsSql(gapSec: Long = 1800): String =
+    s"""SELECT user_id, CAST(sum(newSess) AS BIGINT) AS n_sessions,
+       |       CAST(count(*) AS BIGINT) AS n_events
+       |FROM (SELECT user_id,
+       |        CASE WHEN prev IS NULL OR epoch_us(ts) - prev > ${gapSec}000000 THEN 1 ELSE 0 END AS newSess
+       |      FROM (SELECT user_id, ts, event_id,
+       |              lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |            FROM events) t1) t2
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+}
