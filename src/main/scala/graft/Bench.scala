@@ -1,5 +1,22 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.graph.LinkGraph
+import graft.kernels._
+import graft.linalg.{PlusTimes, SpMV}
+
+/** Benchmark driver. Builds the link graph ONCE (persisted — the analog of
+  * the one-time DCSC build), then times the flagship kernels. Prints one
+  * JSON line:
+  *   {"metric":"total","value":S,"unit":"sec","queries":{...},"sf":...,
+  *    "cpus":N,"nnz":E,"pagerank_eps":EPS}
+  * pagerank_eps = iterations × nnz / seconds — the edges/sec SpMV
+  * throughput of BASELINE.json (TEPS-style, reference TopDownBFS.cpp:460).
+  *
+  * Run at two parallelism levels (SPARK_GRAFT_CPUS=8 vs 32) on the same
+  * input to evidence scaling efficiency (BASELINE.md).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +24,49 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val edges = LinkGraph.edges(spark, sfDir).persist()
+    val verts = LinkGraph.vertices(spark, sfDir).persist()
+    val nnz = edges.count()
+    val nv = verts.count()
+
+    // JIT/IO warmup: one SpMV round
+    SpMV(edges, verts.select(col("v"), lit(1.0).as("xv")), PlusTimes).count()
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val prIters = 10
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    results("pagerank") = time { PageRank.run(edges, verts, prIters).count() }
+    results("cc_fastsv") = time { ConnectedComponents.run(edges, verts).count() }
+    results("labelprop") = time { LabelPropagation.run(edges, verts).count() }
+    results("tricnt") = time { Triangles.count(edges).collect() }
+    results("bfs") = time {
+      val root = verts.agg(min(col("v"))).first().getLong(0)
+      BFS.levels(edges, root).count()
+    }
+    results("spgemm") = time {
+      operators.MatrixOps.spgemm(edges, edges, PlusTimes)
+        .groupBy(col("src")).agg(sum(col("w"))).count()
+    }
+    results("dedup_minhash") = time {
+      dedup.Dedup.minhash(Tables.documents(spark, sfDir)).count()
+    }
+    results("ann_topk") = time {
+      sim.Ann.cosineTopK(Tables.embeddings(spark, sfDir), 20, 5).count()
+    }
+
+    val eps = prIters.toLong * nnz / results("pagerank")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"vertices":$nv,"nnz":$nnz,"pagerank_eps":$eps%.0f}""")
     spark.stop()
   }
 }

@@ -111,6 +111,15 @@ object SparkEntry {
       streaming.EventOps.hourlyWindow(Tables.events(s, dir)).orderBy("hour", "event_type")),
     "events_sessions" -> ((s, dir) =>
       streaming.EventOps.sessionCounts(Tables.events(s, dir)).orderBy("user_id")),
+    // ---- non-SQL-expressible pipelines (driver does a rows-only check) ----
+    "ingest_linkgraph" -> ((s, dir) => {
+      // pages → extract → dictionary → edges, fully deterministic
+      val built = graph.WebGraph.build(pages.PageGen.pages(s, 2000))
+      built.edges.orderBy("src", "dst")
+    }),
+    "media_stats" -> ((s, dir) =>
+      media.Media.kindStats(media.Media.decodeMeta(media.Media.payloads(s, 500)))
+        .orderBy("kind")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

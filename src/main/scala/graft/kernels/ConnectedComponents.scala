@@ -20,15 +20,21 @@ import graft.linalg.{Select2ndMin, SpMV}
   */
 object ConnectedComponents {
 
+  /** Vector sizes below this use a broadcast SpMV join (the persisted edge
+    * table is never re-shuffled — CombBLAS's Allgatherv analog). */
+  val BroadcastMax = 5000000L
+
   /** @param edges symmetric (src, dst); @return (vid: long, component: long) */
   def run(edges: DataFrame, vertices: DataFrame, maxIters: Int = 50): DataFrame = {
+    val bcast = vertices.count() < BroadcastMax
     var f = vertices.select(col("v"), col("v").as("label")).localCheckpoint()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
       it += 1
       // 1. neighbor-min of current labels
-      val mngp = SpMV(edges, f.select(col("v"), col("label").as("xv")), Select2ndMin)
+      val mngp = SpMV(edges, f.select(col("v"), col("label").as("xv")), Select2ndMin,
+          broadcastX = bcast)
         .select(col("v"), col("yv").as("mngp"))
       // 2. hook: propose min(mngp(v)) to each current root f(v)
       val hooks = f.join(mngp, Seq("v"))

@@ -21,12 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object LabelPropagation {
 
+  /** Vector sizes below this broadcast into the edge join. */
+  val BroadcastMax = 5000000L
+
   /** @param edges symmetric (src, dst); @return (vid: long, label: long) */
   def run(edges: DataFrame, vertices: DataFrame, rounds: Int = 5): DataFrame = {
+    val bcast = vertices.count() < BroadcastMax
     var labels = vertices.select(col("v"), col("v").as("label")).localCheckpoint()
     val byVertex = Window.partitionBy("v").orderBy(col("c").desc, col("label").asc)
     for (_ <- 1 to rounds) {
-      val counts = edges.join(labels.withColumnRenamed("v", "src"), Seq("src"))
+      val lbl = labels.withColumnRenamed("v", "src")
+      val counts = edges.join(if (bcast) broadcast(lbl) else lbl, Seq("src"))
         .groupBy(col("dst").as("v"), col("label"))
         .agg(count(lit(1)).as("c"))
       val best = counts

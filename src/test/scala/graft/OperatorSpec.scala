@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.graph.RMat
+import graft.linalg.{ArgMaxCountSemiring, TypedSpMV}
+import graft.operators.{EWise, VectorOps}
+
+/** Coverage tests for the generalized ewise/indexing/vector operators and
+  * the typed-semiring extension point. */
+class OperatorSpec extends AnyFunSuite {
+  import TestSpark._
+
+  lazy val s2 = spark
+  import s2.implicits._
+
+  def m(rows: (Long, Long, Double)*) = rows.toDF("src", "dst", "w")
+  def vec(rows: (Long, Double)*) = rows.toDF("v", "xv")
+
+  test("ewiseApply full-outer with defaults; inner = intersect") {
+    val a = m((1, 2, 1.0), (2, 3, 2.0))
+    val b = m((2, 3, 10.0), (3, 4, 20.0))
+    val fo = EWise.ewiseApply(a, b, _ + _).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(fo == Map((1L, 2L) -> 1.0, (2L, 3L) -> 12.0, (3L, 4L) -> 20.0))
+    val in = EWise.ewiseApply(a, b, _ * _, join = "inner").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(in == Map((2L, 3L) -> 20.0))
+  }
+
+  test("subsRef and spAsgn") {
+    val a = m((1, 2, 1.0), (2, 3, 2.0), (3, 1, 3.0))
+    val rows = Seq(1L, 2L).toDF("v")
+    val cols = Seq(2L, 3L).toDF("v")
+    val sub = EWise.subsRef(a, rows, cols).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sub == Set((1L, 2L), (2L, 3L)))
+    val b = m((1, 2, 9.0))
+    val asg = EWise.spAsgn(a, rows, cols, b).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(asg == Map((1L, 2L) -> 9.0, (3L, 1L) -> 3.0))
+  }
+
+  test("pruneColumn thresholds per dst") {
+    val a = m((1, 2, 1.0), (3, 2, 5.0), (1, 4, 2.0))
+    val thr = vec((2, 3.0), (4, 1.0))
+    val out = EWise.pruneColumn(a, thr).collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(out == Set((2L, 3L), (4L, 1L)))
+  }
+
+  test("gather / scatterMin / uniq / invert / concat / minElement") {
+    val dense = vec((0, 10.0), (1, 11.0), (2, 12.0))
+    val sv = vec((5, 2.0), (6, 0.0)) // gather indices 2 and 0
+    val g = VectorOps.gather(sv, dense).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(g == Map(5L -> 12.0, 6L -> 10.0))
+
+    val upd = Seq((1L, 5.0), (1L, 3.0), (2L, 20.0)).toDF("target", "xv")
+    val sc = VectorOps.scatterMin(dense, upd).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sc == Map(0L -> 10.0, 1L -> 3.0, 2L -> 12.0))
+
+    val u = VectorOps.uniq(vec((3, 7.0), (1, 7.0), (2, 8.0))).collect()
+      .map(r => r.getDouble(1) -> r.getLong(0)).toMap
+    assert(u == Map(7.0 -> 1L, 8.0 -> 2L))
+
+    val inv = VectorOps.invert(vec((1, 7.0), (2, 7.0), (3, 8.0))).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(inv == Map(7L -> 1.0, 8L -> 3.0))
+
+    assert(VectorOps.concat(vec((0, 1.0)), vec((0, 2.0)), 10).collect().length == 2)
+    val me = VectorOps.minElement(vec((1, 5.0), (2, 3.0), (3, 3.0))).collect()(0)
+    assert(me.getLong(0) == 2L && me.getDouble(1) == 3.0)
+  }
+
+  test("bandwidth stats") {
+    val r = EWise.bandwidth(m((0, 5, 1.0), (2, 3, 1.0))).collect()(0)
+    assert(r.getLong(0) == 5L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+  }
+
+  test("typed argmax-count semiring SpMV reproduces LP round 1") {
+    val pairs = RefKernels.randomGraph(40, 120, seed = 9L)
+    val e = undirected(pairs)
+    val edgeSeq = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+    val vertSeq = edgeSeq.flatMap(p => Seq(p._1, p._2)).distinct
+    val x = vertSeq.map(v => (v, v.toDouble)).toDF("v", "xv")
+    val typed = TypedSpMV(e, x, ArgMaxCountSemiring)
+      .map { case (v, counts) => (v, ArgMaxCountSemiring.best(counts)) }
+      .collect().toMap
+    val ref = RefKernels.labelProp(edgeSeq, vertSeq, rounds = 1)
+    // vertices with neighbors must match the reference's round-1 label
+    for ((v, l) <- typed) assert(ref(v) == l, s"$v: $l vs ${ref(v)}")
+    assert(typed.nonEmpty)
+  }
+
+  test("RMAT generator: deterministic, parallelism-invariant, hub-skewed") {
+    val a = RMat.edges(spark, scale = 8, edgeFactor = 8, seed = 1L)
+    val b = RMat.edges(spark, scale = 8, edgeFactor = 8, seed = 1L).repartition(13)
+    assert(a.count() == (1L << 8) * 8)
+    val sa = a.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val sb = b.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(sa.sameElements(sb))
+    val deg = RMat.symmetricGraph(spark, 8, 8, 1L)
+      .groupBy("src").count().agg(max("count").as("mx"), avg("count").as("mean")).collect()(0)
+    assert(deg.getLong(0) > 4 * deg.getDouble(1), "RMAT should be hub-skewed")
+  }
+
+  test("selectCandidates is seeded-deterministic") {
+    val degs = Seq((1L, 3L), (2L, 0L), (3L, 5L), (4L, 2L)).toDF("v", "outdeg")
+    val a = VectorOps.selectCandidates(degs, 2, 7L).collect().map(_.getLong(0)).toSeq
+    val b = VectorOps.selectCandidates(degs.repartition(5), 2, 7L).collect().map(_.getLong(0)).toSeq
+    assert(a == b && a.length == 2 && !a.contains(2L))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{EventOps, EventStreams}
+
+/** Streaming ≡ batch: the incremental operators must converge to the batch
+  * operators' results on the same data. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(minute: Int): Timestamp = new Timestamp(1704067200000L + minute * 60000L)
+
+  test("streaming hourly counts == batch hourly window") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val rows = Seq(
+      (ts(5), "click", 1.0), (ts(10), "click", 2.0), (ts(61), "click", 3.0),
+      (ts(70), "view", 4.0), (ts(125), "click", 5.0))
+    input.addData(rows: _*)
+    val streamDf = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.hourlyCounts(streamDf)
+      .writeStream.format("memory").queryName("hourly").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("hourly")
+      .select(col("hour"), col("event_type"), col("n"), col("total"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = EventOps.hourlyWindow(
+        rows.toDF("ts", "event_type", "value").withColumn("event_id", lit(0L)))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+  }
+
+  test("streaming sessionization == batch session counts") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val events = Seq(
+      EventStreams.Event(1L, ts(0), 1.0), EventStreams.Event(1L, ts(10), 1.0),
+      EventStreams.Event(1L, ts(50), 1.0), // >30min gap → new session
+      EventStreams.Event(2L, ts(0), 1.0), EventStreams.Event(2L, ts(100), 1.0))
+    input.addData(events: _*)
+    val q = EventStreams.sessionize(input.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("sessions").outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == Set((1L, 2L, 3L), (2L, 2L, 2L)))
+    val batch = EventOps.sessionCounts(
+        events.toDF().withColumnRenamed("value", "value")
+          .withColumn("event_id", monotonically_increasing_id()), 1800)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch == streamed)
+  }
+
+  test("media: decode stub metadata + feature plumbing") {
+    val items = graft.media.Media.payloads(spark, 200)
+    val meta = graft.media.Media.decodeMeta(items)
+    assert(meta.count() == 200)
+    val m = meta.collect()
+    assert(m.forall(x => x.width >= 16 && x.channels >= 1 && x.n_bytes == 76))
+    val feats = graft.media.Media.features(items, 16).collect()
+    assert(feats.length == 200)
+    assert(feats.forall(_.getSeq[Float](1).length == 16))
+    // deterministic across runs
+    val again = graft.media.Media.features(graft.media.Media.payloads(spark, 200), 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats.forall(r => again(r.getLong(0)) == r.getSeq[Float](1)))
+  }
+}
