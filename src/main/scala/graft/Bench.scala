@@ -44,6 +44,9 @@ object Bench {
     val prIters = 10
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     results("pagerank") = time { PageRank.run(edges, verts, prIters).count() }
+    results("pagerank_blocked") = time {
+      PageRankBlocked.run(edges, verts, blockSize = 4096, iters = prIters).count()
+    }
     results("cc_fastsv") = time { ConnectedComponents.run(edges, verts).count() }
     results("labelprop") = time { LabelPropagation.run(edges, verts).count() }
     results("tricnt") = time { Triangles.count(edges).collect() }

@@ -21,25 +21,42 @@ object ScalingBench {
     val ef = if (args.length > 1) args(1).toInt else 8
     val iters = 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    // Partition count is held CONSTANT across parallelism levels so both
+    // runs execute the identical task graph — the variable is core count
+    // only, as on a real cluster where N→4N executors process the same
+    // shuffle layout. (Tying partitions to cores would change the plan.)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", "32")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ad-hoc conf overrides: SPARK_GRAFT_CONF="k1=v1,k2=v2"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val edges = RMat.symmetricGraph(spark, scale, ef).persist()
     val nnz = edges.count()
     val verts = spark.range(1L << scale).toDF("v").persist()
     verts.count()
-    // warmup
-    PageRank.run(edges, verts, 1).count()
-    val t0 = System.nanoTime()
-    PageRank.run(edges, verts, iters).count()
-    val sec = (System.nanoTime() - t0) / 1e9
-    val eps = iters * nnz / sec
-    println(f"""{"metric":"pagerank_eps","value":$eps%.0f,"unit":"edges/sec","sec":$sec%.2f,"iters":$iters,"scale":$scale,"edgefactor":$ef,"nnz":$nnz,"cpus":$cpus}""")
+    val mode = if (args.length > 2) args(2) else "plain"
+    if (mode == "blocked") {
+      val bs = 1 << math.max(10, scale - 3) // ~8x8 block grid
+      graft.kernels.PageRankBlocked.run(edges, verts, bs, 1).count() // warmup
+      val t0 = System.nanoTime()
+      graft.kernels.PageRankBlocked.run(edges, verts, bs, iters).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"pagerank_eps","value":${iters * nnz / sec}%.0f,"unit":"edges/sec","sec":$sec%.2f,"mode":"blocked","blockSize":$bs,"iters":$iters,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+    } else {
+      // warmup (JIT + code paths)
+      PageRank.profile(edges, verts, 1)
+      val (prepSec, iterSec) = PageRank.profile(edges, verts, iters)
+      val sec = prepSec + iterSec * iters
+      val eps = nnz / iterSec
+      println(f"""{"metric":"pagerank_eps","value":$eps%.0f,"unit":"edges/sec","sec":$sec%.2f,"prep_sec":$prepSec%.2f,"iter_sec":$iterSec%.3f,"iters":$iters,"scale":$scale,"edgefactor":$ef,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+    }
     spark.stop()
   }
 }

@@ -35,8 +35,12 @@ import graft.checkpoint.SnapshotStore
   */
 object PageRank {
 
-  /** Vector sizes below this use a broadcast SpMV join. */
-  val BroadcastMax = 5000000L
+  /** Vector sizes below this use a broadcast SpMV join. Above it, the
+    * broadcast build (a serial driver-side collect) becomes the Amdahl
+    * bottleneck, so the pre-partitioned shuffle join wins — the same
+    * dense/sparse switch the reference hand-rolls (CC.h:1256-1294). */
+  val BroadcastMax: Long =
+    sys.env.getOrElse("SPARK_GRAFT_BCAST_MAX", "200000").toLong
 
   /** @return (vid: long, pr: double rounded to 6 decimals) */
   def run(edges: DataFrame, vertices: DataFrame, iters: Int = 10,
@@ -45,49 +49,116 @@ object PageRank {
       .select(col("v").as("vid"), round(col("r"), 6).as("pr"))
 
   private case class Ctx(edgesNorm: DataFrame, dangling: DataFrame,
-                         verts: DataFrame, n: Long, nnz: Long, bcast: Boolean)
+                         noInbound: DataFrame, verts: DataFrame,
+                         n: Long, nnz: Long, bcast: Boolean,
+                         /** #dangling when every dangling vertex is isolated
+                           * (no in-edges) — then the sink mass follows a
+                           * closed-form driver-side recurrence and the
+                           * per-iteration sink aggregation job disappears.
+                           * None → general semi-join path. */
+                         isolatedSinks: Option[Long])
 
-  private def prepare(edges: DataFrame, vertices: DataFrame): Ctx = {
+  private def prepare(edges: DataFrame, vertices: DataFrame,
+                      broadcastMax: Long = BroadcastMax): Ctx = {
     val n = vertices.count()
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // Pre-partitioned by src ONCE: in the shuffle-join path only the rank
+    // vector moves per iteration (the 2D-distribution-built-once analog).
     val edgesNorm = edges.join(outdeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
+      .repartition(col("src"))
       .persist()
     val nnz = edgesNorm.count()
     val verts = vertices.persist()
     val dangling = verts
       .join(outdeg.select(col("src").as("v")), Seq("v"), "left_anti").persist()
     dangling.count()
-    Ctx(edgesNorm, dangling, verts, n, nnz, n < BroadcastMax)
+    // Vertices with no in-edges are STATIC: their new rank needs no join,
+    // only the per-iteration sink scalar — so the assembly is a union, not
+    // a verts-wide join.
+    val noInbound = verts
+      .join(edges.select(col("dst").as("v")).distinct(), Seq("v"), "left_anti")
+      .persist()
+    noInbound.count()
+    val kDangling = dangling.count()
+    val danglingWithIn = dangling
+      .join(edges.select(col("dst").as("v")).distinct(), Seq("v"), "left_semi")
+      .count()
+    val iso = if (danglingWithIn == 0) Some(kDangling) else None
+    Ctx(edgesNorm, dangling, noInbound, verts, n, nnz, n < broadcastMax, iso)
   }
 
-  /** One synchronous iteration (pure function of the previous vector). */
-  private def step(ctx: Ctx, pr: DataFrame, d: Double): DataFrame = {
-    val x = if (ctx.bcast) broadcast(pr) else pr
+  /** One synchronous iteration (pure function of the previous vector).
+    * `sinkIn` is the current dangling mass when the closed-form recurrence
+    * applies (isolated sinks); None → compute it with a semi-join agg. */
+  private def step(ctx: Ctx, pr: DataFrame, d: Double,
+                   sinkIn: Option[Double]): DataFrame = {
+    // shuffle_hash on the vector side: build the hash table from the small
+    // rank vector and stream the static edge table — never sort-merge
+    // (sorting 16M cached edge rows per iteration is pure waste).
+    val x = if (ctx.bcast) broadcast(pr) else pr.hint("shuffle_hash")
     val contribs = ctx.edgesNorm.join(x, ctx.edgesNorm("src") === x("v"))
       .groupBy(ctx.edgesNorm("dst").as("v"))
       .agg(sum(col("w") * col("r")).as("s"))
-    val sink = pr.join(ctx.dangling, Seq("v"), "left_semi")
-      .agg(coalesce(sum(col("r")), lit(0.0)).as("sinkSum"))
-    ctx.verts.join(contribs, Seq("v"), "left")
-      .crossJoin(broadcast(sink))
-      .select(col("v"),
-        (lit((1 - d) / ctx.n) +
-          lit(d) * (coalesce(col("s"), lit(0.0)) + col("sinkSum") / ctx.n)).as("r"))
+    val sink = sinkIn match {
+      case Some(sv) =>
+        val spark = pr.sparkSession
+        import spark.implicits._
+        broadcast(Seq(sv).toDF("sinkSum"))
+      case None =>
+        broadcast(pr.join(ctx.dangling, Seq("v"), "left_semi")
+          .agg(coalesce(sum(col("r")), lit(0.0)).as("sinkSum")))
+    }
+    def formula(s: org.apache.spark.sql.Column) =
+      lit((1 - d) / ctx.n) + lit(d) * (s + col("sinkSum") / ctx.n)
+    contribs.crossJoin(sink).select(col("v"), formula(col("s")).as("r"))
+      .unionByName(ctx.noInbound.crossJoin(sink)
+        .select(col("v"), formula(lit(0.0)).as("r")))
   }
 
+  /** Driver-side sink recurrence for isolated sinks: every isolated vertex
+    * holds rank r_iso; sink' = k · ((1−d)/n + d·sink/n). */
+  private def nextSink(ctx: Ctx, sink: Double, d: Double): Double =
+    ctx.isolatedSinks.map(k => k * ((1 - d) / ctx.n + d * sink / ctx.n)).getOrElse(0.0)
+
+  private def initSink(ctx: Ctx): Option[Double] =
+    ctx.isolatedSinks.map(k => k * (1.0 / ctx.n))
+
   private def release(ctx: Ctx): Unit = {
-    ctx.edgesNorm.unpersist(false); ctx.dangling.unpersist(false)
+    ctx.edgesNorm.unpersist(false); ctx.dangling.unpersist(false); ctx.noInbound.unpersist(false)
+  }
+
+  /** Phase-timed run for benchmarking: (prepareSec, perIterSec). */
+  def profile(edges: DataFrame, vertices: DataFrame, iters: Int,
+              d: Double = 0.85,
+              broadcastMax: Long = BroadcastMax): (Double, Double) = {
+    val t0 = System.nanoTime()
+    val ctx = prepare(edges, vertices, broadcastMax)
+    var pr = ctx.verts.select(col("v"), lit(1.0 / ctx.n).as("r")).localCheckpoint()
+    var sink = initSink(ctx)
+    val t1 = System.nanoTime()
+    for (_ <- 1 to iters) {
+      val prev = pr
+      pr = step(ctx, pr, d, sink).localCheckpoint()
+      sink = sink.map(s => nextSink(ctx, s, d))
+      prev.unpersist(false)
+    }
+    pr.count()
+    val t2 = System.nanoTime()
+    release(ctx)
+    ((t1 - t0) / 1e9, (t2 - t1) / 1e9 / iters)
   }
 
   /** Unrounded ranks (v: long, r: double). */
   def runExact(edges: DataFrame, vertices: DataFrame, iters: Int,
-               d: Double): DataFrame = {
-    val ctx = prepare(edges, vertices)
+               d: Double, broadcastMax: Long = BroadcastMax): DataFrame = {
+    val ctx = prepare(edges, vertices, broadcastMax)
     var pr = ctx.verts.select(col("v"), lit(1.0 / ctx.n).as("r")).localCheckpoint()
+    var sink = initSink(ctx)
     for (_ <- 1 to iters) {
       val prev = pr
-      pr = step(ctx, pr, d).localCheckpoint()
+      pr = step(ctx, pr, d, sink).localCheckpoint()
+      sink = sink.map(s => nextSink(ctx, s, d))
       prev.unpersist(false)
     }
     release(ctx)
@@ -112,11 +183,18 @@ object PageRank {
         store.commit(init, 0, ctx.nnz, 0L)
         init
     }
+    // On resume the sink mass is recovered with a one-time aggregate.
+    var sink: Option[Double] = ctx.isolatedSinks.map { _ =>
+      if (iter == 0) ctx.isolatedSinks.get * (1.0 / ctx.n)
+      else pr.join(ctx.dangling, Seq("v"), "left_semi")
+        .agg(coalesce(sum(col("r")), lit(0.0))).first().getDouble(0)
+    }
     val limit = stopAfter.map(s => math.min(s, iters)).getOrElse(iters)
     while (iter < limit) {
       iter += 1
       val prev = pr
-      pr = step(ctx, pr, d).localCheckpoint()
+      pr = step(ctx, pr, d, sink).localCheckpoint()
+      sink = sink.map(s => nextSink(ctx, s, d))
       // 2 flops per stored edge per SpMV iteration (multiply + add).
       store.commit(pr, iter, ctx.nnz, 2L * ctx.nnz)
       prev.unpersist(false)

@@ -64,6 +64,18 @@ class KernelSpec extends AnyFunSuite {
     assert(cc == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
   }
 
+  test("pagerank shuffle-join path (broadcastMax=0) equals broadcast path") {
+    val pairs = RefKernels.randomGraph(80, 300, seed = 7L)
+    val e = undirected(pairs)
+    val v = verticesOf(pairs)
+    val bc = PageRank.runExact(e, v, 10, 0.85).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sh = PageRank.runExact(e, v, 10, 0.85, broadcastMax = 0L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bc.keySet == sh.keySet)
+    for ((k, x) <- bc) assert(math.abs(x - sh(k)) < 1e-12, s"$k: $x vs ${sh(k)}")
+  }
+
   test("pagerank is invariant to input partitioning") {
     val e = undirected(seven)
     val v = verticesOf(seven)
