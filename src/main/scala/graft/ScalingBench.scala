@@ -42,7 +42,33 @@ object ScalingBench {
     val verts = spark.range(1L << scale).toDF("v").persist()
     verts.count()
     val mode = if (args.length > 2) args(2) else "plain"
-    if (mode == "blocked") {
+    if (mode == "bfs") {
+      // Graph500-style: TEPS per root over K roots, harmonic mean
+      // (reference TopDownBFS.cpp:460, 512-524; MTEPS = edges/sec/1e6).
+      import org.apache.spark.sql.functions._
+      val k = 8
+      val deg = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("outdeg"))
+      val roots = graft.operators.VectorOps.selectCandidates(deg, k, seed = 7L)
+        .collect().map(_.getLong(0)).toSeq
+      graft.kernels.BFS.levels(edges, roots.head).count() // warmup
+      val teps = roots.map { r =>
+        val t0 = System.nanoTime()
+        val visited = graft.kernels.BFS.levels(edges, r, maxDepth = 30).persist()
+        visited.count()
+        val traversed = edges.join(
+          visited.select(col("vid").as("src")), Seq("src"), "left_semi").count()
+        visited.unpersist(false)
+        traversed / ((System.nanoTime() - t0) / 1e9)
+      }
+      val harmonic = teps.length / teps.map(1.0 / _).sum
+      println(f"""{"metric":"bfs_harmonic_teps","value":$harmonic%.0f,"unit":"edges/sec","roots":$k,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+    } else if (mode == "cc") {
+      graft.kernels.ConnectedComponents.run(edges, verts).count() // warmup
+      val t0 = System.nanoTime()
+      graft.kernels.ConnectedComponents.run(edges, verts).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"cc_sec","value":$sec%.2f,"unit":"sec","scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+    } else if (mode == "blocked") {
       val bs = 1 << math.max(10, scale - 3) // ~8x8 block grid
       graft.kernels.PageRankBlocked.run(edges, verts, bs, 1).count() // warmup
       val t0 = System.nanoTime()

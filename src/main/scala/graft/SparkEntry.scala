@@ -107,6 +107,10 @@ object SparkEntry {
     "ann_buckets" -> ((s, dir) =>
       sim.Ann.signBuckets(Tables.embeddings(s, dir), 8)
         .groupBy("bucket").agg(count(lit(1)).as("n")).orderBy("bucket")),
+    "ann_lsh_topk" -> ((s, dir) =>
+      sim.Ann.bucketedTopK(Tables.embeddings(s, dir), 20, 5, 8).orderBy("qid", "rank")),
+    "bandwidth" -> ((s, dir) =>
+      operators.EWise.bandwidth(LinkGraph.edges(s, dir))),
     "events_window" -> ((s, dir) =>
       streaming.EventOps.hourlyWindow(Tables.events(s, dir)).orderBy("hour", "event_type")),
     "events_sessions" -> ((s, dir) =>
@@ -120,6 +124,15 @@ object SparkEntry {
     "media_stats" -> ((s, dir) =>
       media.Media.kindStats(media.Media.decodeMeta(media.Media.payloads(s, 500)))
         .orderBy("kind")),
+    "mcl_clusters" -> ((s, dir) =>
+      MarkovClustering.run(LinkGraph.weightedEdges(s, dir), LinkGraph.vertices(s, dir),
+          maxIters = 6)
+        .groupBy("cluster").agg(count(lit(1)).as("sz")).orderBy("cluster")),
+    "bc_batch" -> ((s, dir) => {
+      val verts = LinkGraph.vertices(s, dir)
+      val sources = verts.orderBy("v").limit(16).collect().map(_.getLong(0)).toSeq
+      Betweenness.forSources(LinkGraph.edges(s, dir), sources).orderBy("vid")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -152,6 +165,8 @@ object SparkEntry {
     "ann_topk" -> TextOracles.annTopKSql(20, 5),
     "embed_norms" -> TextOracles.embedNormsSql,
     "ann_buckets" -> TextOracles.annBucketsSql(8),
+    "ann_lsh_topk" -> TextOracles.annLshTopKSql(20, 5, 8),
+    "bandwidth" -> OpOracles.bandwidthSql,
     "events_window" -> TextOracles.eventsWindowSql,
     "events_sessions" -> TextOracles.eventsSessionsSql(1800),
   )

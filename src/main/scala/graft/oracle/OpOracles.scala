@@ -65,6 +65,12 @@ object OpOracles {
       |       CAST(sum(CASE WHEN src < dst THEN 1 ELSE 0 END) AS BIGINT) AS upper_nnz
       |FROM edges GROUP BY src ORDER BY v""".stripMargin)
 
+  def bandwidthSql: String = withBoth(
+    """SELECT CAST(max(abs(src - dst)) AS BIGINT) AS bandwidth,
+      |       CAST(count(*) AS BIGINT) AS nnz,
+      |       CAST(count(DISTINCT src) AS BIGINT) AS nonempty_rows
+      |FROM edges""".stripMargin)
+
   def dictPartsSql: String =
     """SELECT p_name, CAST(row_number() OVER (ORDER BY p_name) - 1 AS BIGINT) AS vid
       |FROM (SELECT DISTINCT p_name FROM part) ORDER BY p_name""".stripMargin

@@ -133,6 +133,26 @@ object TextOracles {
        |GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  def annLshTopKSql(nQueries: Int = 20, k: Int = 5, bits: Int = 8): String = {
+    val bucket = (0 until bits)
+      .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+       |         CAST($bucket AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |scored AS MATERIALIZED (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |         list_dot_product(q.e, c.e)/(q.norm*c.norm) AS cos
+       |  FROM base q JOIN base c ON q.bucket = c.bucket
+       |   AND q.vec_id < $nQueries AND q.vec_id <> c.vec_id)
+       |SELECT qid, nid, rank FROM (
+       |  SELECT qid, nid,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   def eventsWindowSql: String =
     """SELECT date_trunc('hour', ts) AS hour, event_type,
       |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.kernels.{Betweenness, MarkovClustering}
+
+/** MCL clustering and batched-Brandes betweenness centrality. */
+class MclBcSpec extends AnyFunSuite {
+  import TestSpark._
+
+  def clique(ids: Seq[Long]): Seq[(Long, Long)] =
+    for (a <- ids; b <- ids if a < b) yield (a, b)
+
+  test("MCL separates two cliques joined by a weak bridge") {
+    val pairs = clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++ Seq((3L, 10L))
+    val e = undirected(pairs).withColumn("w", lit(1.0))
+    val v = verticesOf(pairs)
+    val clusters = MarkovClustering.run(e, v).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    val c1 = Seq(0L, 1L, 2L, 3L).map(clusters).distinct
+    val c2 = Seq(10L, 11L, 12L, 13L).map(clusters).distinct
+    assert(c1.length == 1, s"first clique split: $clusters")
+    assert(c2.length == 1, s"second clique split: $clusters")
+    assert(c1.head != c2.head, s"cliques merged: $clusters")
+  }
+
+  test("MCL on disconnected components yields one cluster per component") {
+    val pairs = clique(Seq(0L, 1L, 2L)) ++ clique(Seq(5L, 6L, 7L)) ++ Seq((20L, 21L))
+    val e = undirected(pairs).withColumn("w", lit(1.0))
+    val clusters = MarkovClustering.run(e, verticesOf(pairs)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.values.toSet.size == 3)
+  }
+
+  test("batched Brandes matches brute force on path graph") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val e = undirected(pairs)
+    val edgeSeq = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+    val verts = Seq(0L, 1L, 2L, 3L, 4L)
+    val bc = Betweenness.forSources(e, verts).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = RefKernels.brandes(edgeSeq, verts, verts)
+    for (v <- verts)
+      assert(math.abs(bc.getOrElse(v, 0.0) - ref(v)) < 1e-6, s"$v: ${bc.get(v)} vs ${ref(v)}")
+    assert(bc(2L) == 8.0)
+  }
+
+  test("batched Brandes matches brute force on seeded random graph") {
+    val pairs = RefKernels.randomGraph(40, 120, seed = 21L)
+    val e = undirected(pairs)
+    val edgeSeq = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+    val verts = edgeSeq.flatMap(p => Seq(p._1, p._2)).distinct
+    val sources = verts.sorted.take(10)
+    val bc = Betweenness.forSources(e, sources).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = RefKernels.brandes(edgeSeq, verts, sources)
+    for (v <- verts)
+      assert(math.abs(bc.getOrElse(v, 0.0) - ref(v)) < 1e-5, s"$v: ${bc.get(v)} vs ${ref(v)}")
+  }
+}

@@ -93,6 +93,34 @@ object RefKernels {
     dist
   }
 
+  /** Brandes betweenness (unweighted), δ summed over the given sources. */
+  def brandes(edges: Seq[(Long, Long)], verts: Seq[Long],
+              sources: Seq[Long]): Map[Long, Double] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val bc = collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+    for (s <- sources) {
+      val sigma = collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      val dist = collection.mutable.Map[Long, Int]()
+      val order = collection.mutable.ArrayBuffer[Long]()
+      sigma(s) = 1.0; dist(s) = 0
+      val queue = collection.mutable.Queue(s)
+      while (queue.nonEmpty) {
+        val v = queue.dequeue(); order += v
+        for (w <- adj.getOrElse(v, Nil)) {
+          if (!dist.contains(w)) { dist(w) = dist(v) + 1; queue.enqueue(w) }
+          if (dist(w) == dist(v) + 1) sigma(w) += sigma(v)
+        }
+      }
+      val delta = collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      for (v <- order.reverse) {
+        for (w <- adj.getOrElse(v, Nil) if dist.get(w).contains(dist(v) + 1))
+          delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+        if (v != s) bc(v) += delta(v)
+      }
+    }
+    verts.map(v => v -> bc(v)).toMap
+  }
+
   /** Deterministic seeded random symmetric graph. */
   def randomGraph(nVerts: Int, nEdges: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
