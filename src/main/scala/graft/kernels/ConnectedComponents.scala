@@ -28,9 +28,17 @@ object ConnectedComponents {
   def run(edges: DataFrame, vertices: DataFrame, maxIters: Int = 50): DataFrame = {
     val bcast = vertices.count() < BroadcastMax
     var f = vertices.select(col("v"), col("v").as("label")).localCheckpoint()
-    var changed = 1L
+    // Labels are monotone non-increasing, so convergence = unchanged label
+    // sum — one scan of the cached vector instead of a join+count
+    // (the analog of the reference's cheap Allreduce convergence test,
+    // FastSV.h:364). Sum as DECIMAL(38) so 10^12 × 10^12-scale ids can't
+    // overflow.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+    var prevSum = labelSum(f)
+    var changed = true
     var it = 0
-    while (changed > 0 && it < maxIters) {
+    while (changed && it < maxIters) {
       it += 1
       // 1. neighbor-min of current labels
       val mngp = SpMV(edges, f.select(col("v"), col("label").as("xv")), Select2ndMin,
@@ -51,8 +59,9 @@ object ConnectedComponents {
         .join(hooked.select(col("v").as("pv"), col("label").as("glabel")), Seq("pv"))
         .select(col("v"), col("glabel").as("label"))
         .localCheckpoint()
-      changed = next.join(f.withColumnRenamed("label", "old"), Seq("v"))
-        .where(col("label") =!= col("old")).count()
+      val s = labelSum(next)
+      changed = s.compareTo(prevSum) != 0
+      prevSum = s
       f.unpersist(false)
       f = next
     }

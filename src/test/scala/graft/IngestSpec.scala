@@ -68,6 +68,30 @@ class IngestSpec extends AnyFunSuite {
     assert(maxVid == nVids - 1, "dense id space")
   }
 
+  test("all kernels over the extracted web graph match brute-force oracles") {
+    val built = graph.WebGraph.build(PageGen.pages(spark, 400))
+    val sym = graph.WebGraph.symmetrize(built.edges).persist()
+    val verts = built.vertices.persist()
+    val edgeSeq = sym.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val vertSeq = verts.collect().map(_.getLong(0)).toSeq
+
+    val pr = kernels.PageRank.runExact(sym, verts, 10, 0.85).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prRef = RefKernels.pageRank(edgeSeq, vertSeq)
+    for ((k, x) <- pr) assert(math.abs(x - prRef(k)) < 1e-9, s"pr $k")
+
+    val cc = kernels.ConnectedComponents.run(sym, verts).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == RefKernels.components(edgeSeq, vertSeq))
+
+    val lp = kernels.LabelPropagation.run(sym, verts).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp == RefKernels.labelProp(edgeSeq, vertSeq))
+
+    val tc = kernels.Triangles.count(sym).collect()(0).getLong(0)
+    assert(tc == RefKernels.triangles(edgeSeq))
+  }
+
   test("end-to-end: pagerank over the web graph is deterministic across runs") {
     val b1 = WebGraph.build(PageGen.pages(spark, 300).repartition(3))
     val b2 = WebGraph.build(PageGen.pages(spark, 300).repartition(8))

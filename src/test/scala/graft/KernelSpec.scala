@@ -53,6 +53,13 @@ class KernelSpec extends AnyFunSuite {
     checkAll(RefKernels.randomGraph(80, 300, seed = 7L), "rand80")
   }
 
+  test("RMAT scale-10 medium graph differential (FIXTURES.md rmat_s10)") {
+    val pairs = graph.RMat.symmetricGraph(spark, 10, 8, seed = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._1 < p._2).toSeq
+    checkAll(pairs, "rmat10")
+  }
+
   test("triangle3 has exactly 1 triangle; star has 0") {
     assert(Triangles.count(undirected(triangle3)).collect()(0).getLong(0) == 1L)
     assert(Triangles.count(undirected(star5)).collect()(0).getLong(0) == 0L)
