@@ -146,6 +146,87 @@ object BlockMatrix {
     flat.toDF("v", "yv")
   }
 
+  /** Block SpGEMM: C = A · B over (zero, add, mult) — the SUMMA dataflow
+    * (reference Mult_AnXBn_Synch, ParFriends.h:1018-1123): join block pairs
+    * on the inner block index (their √p broadcast stages), multiply each
+    * pair with a local CSR×CSR kernel, and merge partial blocks by
+    * (rowBlock, colBlock) (their multiway merge, MultiwayMerge.h:411-760).
+    *
+    * A is stored rows=dst per [[fromEdges]]; for C = A·B interpret row/col
+    * generically: C(i,j) = Σ_k A(i,k)·B(k,j) with i = A.rowBlock local
+    * rows, k = inner, j = B's local columns. */
+  def spgemm(a: Dataset[MatrixBlock], b: Dataset[MatrixBlock], blockSize: Int,
+             zero: Double, add: (Double, Double) => Double,
+             mult: (Double, Double) => Double): Dataset[MatrixBlock] = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    a.as("A").joinWith(b.as("B"), col("A.colBlock") === col("B.rowBlock"))
+      .map { case (ab, bb) =>
+        // local dense-accumulator CSR×CSR: for each row i of A-block,
+        // for each k with A(i,k)≠0, scatter mult(A(i,k), B(k,j)) into acc.
+        val acc = Array.fill(blockSize * blockSize)(zero)
+        var i = 0
+        while (i < blockSize) {
+          var p = ab.rowPtr(i)
+          val pEnd = ab.rowPtr(i + 1)
+          while (p < pEnd) {
+            val k = ab.colIdx(p); val av = ab.values(p)
+            var q = bb.rowPtr(k)
+            val qEnd = bb.rowPtr(k + 1)
+            while (q < qEnd) {
+              val j = bb.colIdx(q)
+              val idx = i * blockSize + j
+              acc(idx) = add(acc(idx), mult(av, bb.values(q)))
+              q += 1
+            }
+            p += 1
+          }
+          i += 1
+        }
+        ((ab.rowBlock, bb.colBlock), acc)
+      }
+      .groupByKey(_._1)
+      .mapGroups { (key: (Int, Int), it: Iterator[((Int, Int), Array[Double])]) =>
+        val (rb, cb) = key
+        val acc = Array.fill(blockSize * blockSize)(zero)
+        it.foreach { case (_, part) =>
+          var i = 0
+          while (i < acc.length) { acc(i) = add(acc(i), part(i)); i += 1 }
+        }
+        // compress back to CSR, dropping zeros
+        val rowPtr = new Array[Int](blockSize + 1)
+        val cols = collection.mutable.ArrayBuffer[Int]()
+        val vals = collection.mutable.ArrayBuffer[Double]()
+        var i = 0
+        while (i < blockSize) {
+          var j = 0
+          while (j < blockSize) {
+            val v = acc(i * blockSize + j)
+            if (v != zero) { cols += j; vals += v }
+            j += 1
+          }
+          rowPtr(i + 1) = cols.length
+          i += 1
+        }
+        MatrixBlock(rb, cb, rowPtr, cols.toArray, vals.toArray)
+      }
+  }
+
+  /** Blocks → COO relation (src=col, dst=row per the [[fromEdges]]
+    * transposed layout) for differential checks. */
+  def toCoo(blocks: Dataset[MatrixBlock], blockSize: Int): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    blocks.flatMap { b =>
+      (0 until blockSize).iterator.flatMap { lr =>
+        (b.rowPtr(lr) until b.rowPtr(lr + 1)).iterator.map { p =>
+          (b.colBlock.toLong * blockSize + b.colIdx(p),
+            b.rowBlock.toLong * blockSize + lr, b.values(p))
+        }
+      }
+    }.toDF("src", "dst", "w")
+  }
+
   /** Per-block (rowBlock, colBlock, nnz) — the nnz bookkeeping the
     * checkpoint manifests carry (reference EstimateFLOP-style metrics,
     * ParFriends.h:358-444). */

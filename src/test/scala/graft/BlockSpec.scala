@@ -49,6 +49,20 @@ class BlockSpec extends AnyFunSuite {
     assert(blocked == plain)
   }
 
+  test("block SpGEMM equals relational SpGEMM (A²)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val we = e.withColumn("w", (col("src") % 3 + 1).cast("double"))
+    val plain = graft.operators.MatrixOps.spgemm(we, we, PlusTimes).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val blocks = BlockMatrix.fromEdges(we, 32)
+    val c = BlockMatrix.spgemm(blocks, blocks, 32, 0.0, _ + _, _ * _)
+    val blocked = BlockMatrix.toCoo(c, 32).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(blocked.keySet == plain.keySet)
+    for ((k, v) <- plain) assert(math.abs(blocked(k) - v) < 1e-9, s"$k")
+  }
+
   test("blocked PageRank matches plain PageRank to 1e-12") {
     val plain = PageRank.runExact(e, v, 10, 0.85).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
