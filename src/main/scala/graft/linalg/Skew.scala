@@ -34,6 +34,24 @@ object Skew {
       .where(col("deg") > minDegree)
       .select("v")
 
+  /** Two-phase SALTED aggregation for skewed group keys: rows of a hot key
+    * are spread over `salts` sub-keys (deterministic hash of the payload),
+    * partially aggregated per (key, salt), then combined — so no single
+    * reducer owns a hub's entire in-edge stream. Result-identical to a
+    * direct groupBy for any associative+commutative semiring add.
+    * (The repartitioning form of the same cost model [[spmv]] applies on
+    * the join side; Spark's map-side partial agg already gives one level —
+    * salting adds an explicit intermediate reduce for extreme in-degree.) */
+  def saltedAggregate(contribs: DataFrame, sr: ColumnSemiring,
+                      salts: Int = 16): DataFrame = {
+    contribs
+      .withColumn("__salt", pmod(xxhash64(col("c")), lit(salts)))
+      .groupBy(col("v"), col("__salt"))
+      .agg(sr.add(col("c")).as("partial"))
+      .groupBy(col("v"))
+      .agg(sr.add(col("partial")).as("yv"))
+  }
+
   /** Skew-aware SpMV: identical result to [[SpMV]], hub-broadcast plan. */
   def spmv(edges: DataFrame, x: DataFrame, sr: ColumnSemiring,
            minDegree: Long = 1000): DataFrame = {

@@ -36,6 +36,20 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("salted two-phase aggregation == direct aggregation (sum and min)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val contribs = (1 to 5000).map(i => ((i % 7).toLong, (i % 13) * 1.5)).toDF("v", "c")
+    for (sr <- Seq[graft.linalg.ColumnSemiring](PlusTimes, Select2ndMin)) {
+      val direct = contribs.groupBy("v").agg(sr.add(col("c")).as("yv"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val salted = Skew.saltedAggregate(contribs, sr, salts = 8)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(direct.keySet == salted.keySet)
+      for ((k, v) <- direct) assert(math.abs(salted(k) - v) < 1e-9, s"${sr.name} $k")
+    }
+  }
+
   test("skew-aware SpMV == plain SpMV (Select2ndMin)") {
     val plain = SpMV(e, xOf, Select2ndMin).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
