@@ -128,6 +128,9 @@ object SparkEntry {
       MarkovClustering.run(LinkGraph.weightedEdges(s, dir), LinkGraph.vertices(s, dir),
           maxIters = 6)
         .groupBy("cluster").agg(count(lit(1)).as("sz")).orderBy("cluster")),
+    "mis" -> ((s, dir) =>
+      MaximalIndependentSet.run(LinkGraph.edges(s, dir), LinkGraph.vertices(s, dir))
+        .orderBy("v")),
     "bc_batch" -> ((s, dir) => {
       val verts = LinkGraph.vertices(s, dir)
       val sources = verts.orderBy("v").limit(16).collect().map(_.getLong(0)).toSeq

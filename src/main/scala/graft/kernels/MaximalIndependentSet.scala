@@ -1,0 +1,57 @@
+package graft.kernels
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Maximal independent set — Luby's algorithm (reference FilteredMIS.cpp
+  * runs the same random-priority MIS over the semiring layer).
+  *
+  * Per round over the ACTIVE subgraph: a vertex joins the MIS iff its
+  * seeded priority (xxhash64, tie-broken by id — a total order) is
+  * strictly smaller than every active neighbor's; winners and their
+  * neighborhoods then leave the active set. Deterministic for a fixed
+  * seed at any parallelism; expected O(log n) rounds.
+  *
+  * The neighbor-minimum is the Select2ndMin SpMV over a (priority, id)
+  * struct — Spark orders structs lexicographically, so `min` implements
+  * the total order directly. */
+object MaximalIndependentSet {
+
+  /** @param edges symmetric (src, dst); @return (v: long) — the MIS. */
+  def run(edges: DataFrame, vertices: DataFrame, seed: Long = 42L,
+          maxRounds: Int = 60): DataFrame = {
+    val spark = edges.sparkSession
+    var active = vertices.select(col("v")).localCheckpoint()
+    var activeEdges = edges.select("src", "dst").localCheckpoint()
+    var mis = active.where(lit(false)).localCheckpoint()
+    var remaining = active.count()
+    var round = 0
+    while (remaining > 0 && round < maxRounds) {
+      round += 1
+      val prio = active.select(col("v"),
+        struct(xxhash64(lit(seed), col("v")).as("p"), col("v").as("id")).as("pr"))
+      val nbrMin = activeEdges
+        .join(prio.select(col("v").as("src"), col("pr")), Seq("src"))
+        .groupBy(col("dst").as("v"))
+        .agg(min(col("pr")).as("nbrMin"))
+      val winners = prio.join(nbrMin, Seq("v"), "left")
+        .where(col("nbrMin").isNull || col("pr") < col("nbrMin"))
+        .select("v")
+        .localCheckpoint()
+      val removed = winners.unionByName(
+          activeEdges.join(winners.withColumnRenamed("v", "src"), Seq("src"))
+            .select(col("dst").as("v")))
+        .distinct()
+        .localCheckpoint()
+      mis = mis.unionByName(winners).localCheckpoint()
+      active = active.join(removed, Seq("v"), "left_anti").localCheckpoint()
+      activeEdges = activeEdges
+        .join(removed.withColumnRenamed("v", "src"), Seq("src"), "left_anti")
+        .join(removed.withColumnRenamed("v", "dst"), Seq("dst"), "left_anti")
+        .select("src", "dst")
+        .localCheckpoint()
+      remaining = active.count()
+    }
+    mis.select(col("v"))
+  }
+}
