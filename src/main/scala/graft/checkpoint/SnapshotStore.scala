@@ -35,17 +35,22 @@ class SnapshotStore(root: String) extends Serializable {
 
   /** Commit `df` as the state of `iteration`. Returns the snapshot id. */
   def commit(df: DataFrame, iteration: Int, nnz: Long, flops: Long): Long = {
-    val id = latest().map(_.snapshotId + 1).getOrElse(0L)
-    val parent = latest().map(_.snapshotId).getOrElse(-1L)
+    val prev = latest()
+    val id = prev.map(_.snapshotId + 1).getOrElse(0L)
+    val parent = prev.map(_.snapshotId).getOrElse(-1L)
     val dataPath = s"$root/data-$id"
     df.write.mode("overwrite").parquet(dataPath)
-    // per-partition lineage sidecar (partition id → rows written)
+    // per-partition lineage sidecar (partition id → rows written).
+    // ONE pass over the committed data: the row count is the collected
+    // sidecar's sum, not a second parquet scan.
     val spark = df.sparkSession
     val stats = spark.read.parquet(dataPath)
       .groupBy(spark_partition_id().as("partitionId"))
       .agg(count(lit(1)).as("rows"))
+      .persist()
     stats.write.mode("overwrite").parquet(s"$root/partstats-$id")
-    val rows = spark.read.parquet(dataPath).count()
+    val rows = stats.agg(coalesce(sum(col("rows")), lit(0L))).first().getLong(0)
+    stats.unpersist(false)
     val json =
       s"""{"snapshotId": $id, "parentId": $parent, "iteration": $iteration,
          | "dataPath": "$dataPath", "rows": $rows, "nnz": $nnz, "flops": $flops,
@@ -75,12 +80,15 @@ class SnapshotStore(root: String) extends Serializable {
   /** All valid snapshots, oldest first (the lineage chain). */
   def snapshots(): Seq[Snapshot] = {
     if (!Files.isDirectory(Paths.get(root))) return Nil
-    Files.list(Paths.get(root)).iterator.asScala
-      .filter(p => p.getFileName.toString.matches("manifest-\\d+\\.json"))
-      .flatMap { p =>
-        try parse(Files.readString(p)) catch { case _: Exception => None }
-      }
-      .toSeq.sortBy(_.snapshotId)
+    val stream = Files.list(Paths.get(root))
+    try
+      stream.iterator.asScala
+        .filter(p => p.getFileName.toString.matches("manifest-\\d+\\.json"))
+        .flatMap { p =>
+          try parse(Files.readString(p)) catch { case _: Exception => None }
+        }
+        .toSeq.sortBy(_.snapshotId)
+    finally stream.close() // Files.list leaks a directory fd if left open
   }
 
   def load(spark: SparkSession, s: Snapshot): DataFrame =

@@ -24,9 +24,15 @@ object Ranking {
     val spark = df.sparkSession
     import spark.implicits._
     val p = if (parts > 0) parts else spark.sessionState.conf.numShufflePartitions
+    // localCheckpoint PINS the range boundaries: RangePartitioner samples
+    // with a seed derived from the rdd id, so re-executing the plan could
+    // draw different boundaries — the size collect and the returned plan
+    // must read the SAME materialized shuffle output or rows near a
+    // boundary get offset by the wrong partition count.
     val ranged = df.repartitionByRange(p, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val sizes = ranged.groupBy("__pid").count().collect()
       .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L

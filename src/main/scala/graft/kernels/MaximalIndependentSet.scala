@@ -52,6 +52,14 @@ object MaximalIndependentSet {
         .localCheckpoint()
       remaining = active.count()
     }
+    // Contract guard: if the round cap fired with vertices still active the
+    // set is independent but NOT maximal — surface it instead of silently
+    // returning a weaker result (expected rounds are O(log n), so hitting
+    // the cap signals a pathological input or a too-small maxRounds).
+    if (remaining > 0)
+      throw new IllegalStateException(
+        s"MIS round cap $maxRounds hit with $remaining vertices still active; " +
+          "result would not be maximal — raise maxRounds")
     mis.select(col("v"))
   }
 }

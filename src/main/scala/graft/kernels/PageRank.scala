@@ -125,7 +125,8 @@ object PageRank {
     ctx.isolatedSinks.map(k => k * (1.0 / ctx.n))
 
   private def release(ctx: Ctx): Unit = {
-    ctx.edgesNorm.unpersist(false); ctx.dangling.unpersist(false); ctx.noInbound.unpersist(false)
+    ctx.edgesNorm.unpersist(false); ctx.dangling.unpersist(false)
+    ctx.noInbound.unpersist(false); ctx.verts.unpersist(false)
   }
 
   /** Phase-timed run for benchmarking: (prepareSec, perIterSec). */

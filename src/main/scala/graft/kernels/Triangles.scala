@@ -48,7 +48,12 @@ object Triangles {
       .select(col("a"), col("c"))
     val closed = wedges.join(
       maybeBcast(l.select(col("a"), col("b").as("c"))), Seq("a", "c"), "left_semi")
-    val res = closed.agg(fcount(lit(1)).as("triangles"))
-    res
+    // Materialize before unpersisting `l` — otherwise the cached oriented
+    // edge list leaks executor storage across repeated calls in a session.
+    val n = closed.agg(fcount(lit(1)).as("triangles")).first().getLong(0)
+    l.unpersist(false)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq(n).toDF("triangles")
   }
 }

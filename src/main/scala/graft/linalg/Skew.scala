@@ -44,8 +44,14 @@ object Skew {
     * salting adds an explicit intermediate reduce for extreme in-degree.) */
   def saltedAggregate(contribs: DataFrame, sr: ColumnSemiring,
                       salts: Int = 16): DataFrame = {
+    // Salt by the PRODUCING partition, never by the payload: hashing the
+    // contribution value degenerates to a single bucket whenever a hub's
+    // contributions share one value (unweighted edges × uniform x — the
+    // common case). spark_partition_id spreads a hot key evenly over the
+    // salt space by construction; the result is salt-invariant because
+    // the semiring add is associative + commutative.
     contribs
-      .withColumn("__salt", pmod(xxhash64(col("c")), lit(salts)))
+      .withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
       .groupBy(col("v"), col("__salt"))
       .agg(sr.add(col("c")).as("partial"))
       .groupBy(col("v"))
@@ -66,9 +72,14 @@ object Skew {
         .select(edges("dst").as("v"), sr.multiply(w, xx("xv")).as("c"))
     }
 
-    contribs(xHot, bcast = true)
+    // Materialize before releasing the hub cache (a lazily returned plan
+    // would silently recompute `hot` after unpersist — or leak it).
+    val out = contribs(xHot, bcast = true)
       .union(contribs(xCold, bcast = false))
       .groupBy("v")
       .agg(sr.add(col("c")).as("yv"))
+      .localCheckpoint()
+    hot.unpersist(false)
+    out
   }
 }
