@@ -36,6 +36,10 @@ object SparkEntry {
       val root = verts.agg(min(col("v"))).first().getLong(0)
       BFS.levels(LinkGraph.edges(s, dir), root).orderBy("vid")
     }),
+    "sssp" -> ((s, dir) => {
+      val root = LinkGraph.vertices(s, dir).agg(min(col("v"))).first().getLong(0)
+      SSSP.run(LinkGraph.weightedEdges(s, dir), root).orderBy("vid")
+    }),
     "reduce_row" -> ((s, dir) =>
       MatrixOps.reduceRows(LinkGraph.weightedEdges(s, dir)).orderBy("v")),
     "masked_reduce" -> ((s, dir) => {
@@ -146,6 +150,7 @@ object SparkEntry {
     "labelprop" -> GraphOracles.labelPropSql(),
     "tricnt" -> GraphOracles.trianglesSql,
     "bfs_levels" -> GraphOracles.bfsSql(),
+    "sssp" -> GraphOracles.ssspSql(),
     "reduce_row" -> OpOracles.reduceRowsSql,
     "masked_reduce" -> OpOracles.maskedReduceSql(115),
     "kselect3" -> OpOracles.kselectSql(3),

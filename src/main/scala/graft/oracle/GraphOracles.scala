@@ -82,6 +82,33 @@ object GraphOracles {
        |      FROM l e1 JOIN l e2 ON e1.dst = e2.src) w
        |JOIN l e3 ON e3.src = w.a AND e3.dst = w.c""".stripMargin
 
+  /** Unrolled Bellman-Ford: d_k = min over ≤k-edge paths. The Spark kernel
+    * relaxes only improved vertices per round, which provably yields the
+    * SAME d_k, and path sums accumulate one edge per round in both engines
+    * (identical FP). Weights are integral doubles → sums exact, so the
+    * compare needs no rounding. Extra rounds past the fixpoint are no-ops,
+    * so any iters ≥ the kernel's cap compares equal. */
+  def ssspSql(iters: Int = 30): String = {
+    val head =
+      s"""WITH RECURSIVE $edgesCte,
+         |${OpOracles.wedgesCte},
+         |d0 AS MATERIALIZED (
+         |  SELECT CAST((SELECT min(v) FROM verts) AS BIGINT) AS v,
+         |         CAST('0' AS DOUBLE) AS d)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = s"d${i - 1}"
+      s"""d$i AS MATERIALIZED (
+         |  SELECT v, min(d) AS d FROM (
+         |    SELECT v, d FROM $p
+         |    UNION ALL
+         |    SELECT e.dst AS v, p.d + e.w AS d
+         |    FROM $p p JOIN wedges e ON e.src = p.v)
+         |  GROUP BY v)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT v AS vid, d AS dist FROM d$iters ORDER BY vid"
+  }
+
   def bfsSql(maxDepth: Int = 10): String =
     s"""WITH RECURSIVE $edgesCte,
        |bfs(v, d) AS (

@@ -71,6 +71,36 @@ class KernelSpec extends AnyFunSuite {
     assert(cc == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
   }
 
+  test("BFS: bottom-up, shuffle top-down, and adaptive paths all agree") {
+    val pairs = RefKernels.randomGraph(80, 300, seed = 11L)
+    val e = undirected(pairs)
+    val edgeSeq = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+    val root = edgeSeq.flatMap(p => Seq(p._1, p._2)).min
+    val want = RefKernels.bfs(edgeSeq, root)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asMap(BFS.levels(e, root)) == want, "adaptive")
+    assert(asMap(BFS.levels(e, root, alpha = Double.MaxValue)) == want, "forced bottom-up")
+    assert(asMap(BFS.levels(e, root, broadcastMax = 0L, alpha = 0.0)) == want,
+      "forced top-down, shuffle join")
+  }
+
+  test("SSSP differential vs driver Dijkstra; frontier paths agree") {
+    val pairs = RefKernels.randomGraph(60, 220, seed = 13L)
+    val dirEdges = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+      .map { case (a, b) => (a, b, ((a * 31 + b * 7) % 5 + 1).toDouble) }
+    val s = spark
+    import s.implicits._
+    val e = dirEdges.toDF("src", "dst", "w")
+    val root = dirEdges.flatMap(t => Seq(t._1, t._2)).min
+    val want = RefKernels.dijkstra(dirEdges, root)
+    val got = SSSP.run(e, root).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want, "sssp vs dijkstra") // integral weights → exact doubles
+    val shuffled = SSSP.run(e, root, broadcastMax = 0L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(shuffled == want, "sssp shuffle-join path")
+  }
+
   test("pagerank shuffle-join path (broadcastMax=0) equals broadcast path") {
     val pairs = RefKernels.randomGraph(80, 300, seed = 7L)
     val e = undirected(pairs)

@@ -121,6 +121,25 @@ object RefKernels {
     verts.map(v => v -> bc(v)).toMap
   }
 
+  /** Dijkstra over directed weighted edges — SSSP differential oracle. */
+  def dijkstra(edges: Seq[(Long, Long, Double)], root: Long): Map[Long, Double] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+    val dist = collection.mutable.Map(root -> 0.0)
+    val done = collection.mutable.Set[Long]()
+    val pq = collection.mutable.PriorityQueue((0.0, root))(Ordering.by(-_._1))
+    while (pq.nonEmpty) {
+      val (d, v) = pq.dequeue()
+      if (!done(v) && dist(v) == d) {
+        done += v
+        for ((u, w) <- adj.getOrElse(v, Nil) if !done(u)) {
+          val nd = d + w
+          if (!dist.contains(u) || nd < dist(u)) { dist(u) = nd; pq.enqueue((nd, u)) }
+        }
+      }
+    }
+    dist.toMap
+  }
+
   /** Deterministic seeded random symmetric graph. */
   def randomGraph(nVerts: Int, nEdges: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
