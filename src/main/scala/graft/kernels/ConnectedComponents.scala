@@ -8,15 +8,35 @@ import graft.linalg.{Select2ndMin, SpMV}
   * (reference Applications/FastSV.h:335-374; LACC semantics CC.h:1404-1544).
   *
   * Each iteration over symmetric edges:
-  *   1. mngp(v)  = min over in-neighbors u of f(u)        — SpMV⟨Select2ndMin⟩
-  *   2. hooking  : cand(f(v)) = min(mngp(v)) grouped by f(v) — the scatter
-  *      with min-duplicate-reduction of reference CC.h:746-1028 `Assign`,
-  *      realized as groupBy(target).agg(min) (partial agg = their
-  *      pre-reduction of duplicates before the wire, CC.h:580-737)
-  *   3. shortcut : f(v) = f(f(v))                          — pointer jumping,
-  *      a self-join (reference FastSV.h:359-366 `Extract` gather)
-  * Converges in O(log n) rounds to the min vertex id per component — exact
-  * labels, matching LACC's `LabelCC` semantics.
+  *   1. mngp(v)  = min over in-neighbors u of f(u)       — SpMV⟨Select2ndMin⟩
+  *   2. hooking  : cand(L) = min over the tree {v : f(v)=L} of mngp(v) — the
+  *      scatter-with-min-reduction of reference CC.h:746-1028 `Assign`; the
+  *      candidate is folded back to EVERY tree member in the same join
+  *      (hook + spread fused):  f'(v) = min(f(v), mngp(v), cand(f(v)))
+  *   3. shortcut : f''(v) = f'(f'(v))                    — pointer jumping
+  *      (reference FastSV.h:359-366 `Extract` gather), realized against the
+  *      LABEL-RESTRICTED map only (one row per live label, not per vertex).
+  *
+  * Per-vertex labels are monotone non-increasing and component-closed, so
+  * the fixpoint is the exact min vertex id per component — LACC `LabelCC`
+  * semantics.
+  *
+  * Scale design (what survives 1000 executors):
+  *  - the edge table is persisted ONCE (pre-partitioned by src in the
+  *    shuffle-join regime) — per iteration only the n-row label vector
+  *    moves, never the edges;
+  *  - f ⋈ mngp is computed once and reused by hooking (round 1 of this
+  *    engine joined it twice);
+  *  - `hooks` (one row per live label) and the shortcut `labelMap` SHRINK
+  *    geometrically: once the live-label count — tracked exactly by the
+  *    convergence scan, and never increasing — drops under the broadcast
+  *    ceiling, hooking and shortcutting become broadcast joins and the
+  *    n-row tables stop shuffling entirely. On a web graph with a giant
+  *    component this happens after round 1, cutting the serial floor from
+  *    ~6 to ~2 exchanges per iteration;
+  *  - convergence = unchanged label sum, one scan of the cached vector
+  *    (the reference's cheap Allreduce test, FastSV.h:364), fused with the
+  *    live-label count in the same aggregate.
   */
 object ConnectedComponents {
 
@@ -24,47 +44,61 @@ object ConnectedComponents {
     * table is never re-shuffled — CombBLAS's Allgatherv analog). */
   val BroadcastMax = 5000000L
 
+  /** Broadcast ceiling for the per-iteration small tables (hooks/labelMap),
+    * keyed by live-label count. */
+  val SmallMax: Long =
+    sys.env.getOrElse("SPARK_GRAFT_BCAST_MAX", "200000").toLong
+
   /** @param edges symmetric (src, dst); @return (vid: long, component: long) */
   def run(edges: DataFrame, vertices: DataFrame, maxIters: Int = 50): DataFrame = {
-    val bcast = vertices.count() < BroadcastMax
+    val nVerts = vertices.count()
+    val bcast = nVerts < BroadcastMax
+    val e = (if (bcast) edges.select("src", "dst")
+             else edges.select("src", "dst").repartition(col("src"))).persist()
+    e.count()
     var f = vertices.select(col("v"), col("v").as("label")).localCheckpoint()
-    // Labels are monotone non-increasing, so convergence = unchanged label
-    // sum — one scan of the cached vector instead of a join+count
-    // (the analog of the reference's cheap Allreduce convergence test,
-    // FastSV.h:364). Sum as DECIMAL(38) so 10^12 × 10^12-scale ids can't
-    // overflow.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
-    var prevSum = labelSum(f)
+    // Sum as DECIMAL(38) so 10^12 × 10^12-scale ids can't overflow.
+    def scan(df: DataFrame): (java.math.BigDecimal, Long) = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)")),
+        count_distinct(col("label"))).first()
+      (r.getDecimal(0), r.getLong(1))
+    }
+    var prevSum = scan(f)._1
+    var labelCount = nVerts // upper bound: the live-label set never grows
     var changed = true
     var it = 0
     while (changed && it < maxIters) {
       it += 1
+      def small(df: DataFrame): DataFrame =
+        if (labelCount < SmallMax) broadcast(df) else df
       // 1. neighbor-min of current labels
-      val mngp = SpMV(edges, f.select(col("v"), col("label").as("xv")), Select2ndMin,
+      val mngp = SpMV(e, f.select(col("v"), col("label").as("xv")), Select2ndMin,
           broadcastX = bcast)
         .select(col("v"), col("yv").as("mngp"))
-      // 2. hook: propose min(mngp(v)) to each current root f(v)
-      val hooks = f.join(mngp, Seq("v"))
-        .groupBy(col("label").as("v"))
-        .agg(min(col("mngp")).as("cand"))
-      val hooked = f.join(mngp, Seq("v"), "left").join(hooks, Seq("v"), "left")
+      val fm = f.join(mngp, Seq("v"), "left")
+      // 2. hook + spread: candidate per tree, folded back to all members
+      val hooks = fm.groupBy(col("label")).agg(min(col("mngp")).as("cand"))
+      val hooked = fm.join(small(hooks), Seq("label"), "left")
         .select(col("v"),
           least(col("label"),
             coalesce(col("mngp"), col("label")),
             coalesce(col("cand"), col("label"))).as("label"))
-      // 3. shortcut: f(v) = f(f(v))
-      val parents = hooked.select(col("label").as("pv"), col("v"))
-      val next = parents
-        .join(hooked.select(col("v").as("pv"), col("label").as("glabel")), Seq("pv"))
-        .select(col("v"), col("glabel").as("label"))
+      // 3. shortcut against the label-restricted map (small after round 1)
+      val labels = hooked.select(col("label")).distinct()
+      val labelMap = hooked.join(small(labels.select(col("label").as("v"))),
+          Seq("v"), "left_semi")
+        .select(col("v").as("pv"), col("label").as("glabel"))
+      val next = hooked.join(small(labelMap), col("label") === col("pv"), "left")
+        .select(col("v"), coalesce(col("glabel"), col("label")).as("label"))
         .localCheckpoint()
-      val s = labelSum(next)
+      val (s, lc) = scan(next)
       changed = s.compareTo(prevSum) != 0
       prevSum = s
+      labelCount = lc
       f.unpersist(false)
       f = next
     }
+    e.unpersist(false)
     f.select(col("v").as("vid"), col("label").as("component"))
   }
 }

@@ -1,7 +1,6 @@
 package graft.kernels
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Synchronous label propagation with the argmax-count "semiring"
@@ -15,9 +14,14 @@ import org.apache.spark.sql.functions._
   * unspecified order — so we PIN the deterministic tiebreak
   * (max count, then min label) and encode the same rule in the oracle.
   *
-  * The count-then-argmax is two hash aggregates; the rank-1 selection is a
-  * window over (v) — all map-side combinable, no driver-side state. A fixed
-  * round count keeps the result well-defined (synchronous LP may oscillate).
+  * Scale design: the edge table is persisted ONCE (pre-partitioned by src
+  * in the shuffle-join regime) — per round only the label vector moves.
+  * The count-then-argmax is two hash aggregates, both map-side combinable:
+  * the argmax is a struct-max (count, −label) — lexicographic struct
+  * ordering implements the pinned tiebreak with partial aggregation, where
+  * a row_number window would force a per-vertex sort instead. A fixed
+  * round count keeps the result well-defined (synchronous LP may
+  * oscillate).
   */
 object LabelPropagation {
 
@@ -27,23 +31,27 @@ object LabelPropagation {
   /** @param edges symmetric (src, dst); @return (vid: long, label: long) */
   def run(edges: DataFrame, vertices: DataFrame, rounds: Int = 5): DataFrame = {
     val bcast = vertices.count() < BroadcastMax
+    val e = (if (bcast) edges.select("src", "dst")
+             else edges.select("src", "dst").repartition(col("src"))).persist()
+    e.count()
     var labels = vertices.select(col("v"), col("v").as("label")).localCheckpoint()
-    val byVertex = Window.partitionBy("v").orderBy(col("c").desc, col("label").asc)
     for (_ <- 1 to rounds) {
       val lbl = labels.withColumnRenamed("v", "src")
-      val counts = edges.join(if (bcast) broadcast(lbl) else lbl, Seq("src"))
+      val counts = e.join(if (bcast) broadcast(lbl) else lbl.hint("shuffle_hash"), Seq("src"))
         .groupBy(col("dst").as("v"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val best = counts
-        .withColumn("rn", row_number().over(byVertex))
-        .where(col("rn") === 1)
-        .select(col("v"), col("label").as("newLabel"))
+      // argmax-count with (max c, min label) tiebreak: labels are nonneg
+      // vertex ids, so max over (c, −label) structs picks it exactly
+      val best = counts.groupBy("v")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("v"), (-col("m.nl")).as("newLabel"))
       val prev = labels
       labels = labels.join(best, Seq("v"), "left")
         .select(col("v"), coalesce(col("newLabel"), col("label")).as("label"))
         .localCheckpoint()
       prev.unpersist(false)
     }
+    e.unpersist(false)
     labels.select(col("v").as("vid"), col("label"))
   }
 }
