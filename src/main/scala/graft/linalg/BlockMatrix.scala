@@ -146,11 +146,37 @@ object BlockMatrix {
     flat.toDF("v", "yv")
   }
 
+  /** Row-wise SPA (sparse accumulator): a dense value array + a
+    * generation-stamped mark array + a touched-index list, reset in O(nnz)
+    * per row by bumping the generation — the hash/heap local kernel family
+    * of the reference (LocalHybridSpGEMM, mtSpGEMM.h:213-460). Work and
+    * touched memory are O(flops), NEVER O(blockSize²): hypersparse blocks
+    * — the regime DCSC exists for (dcsc.h:129-131) and where a 100×
+    * scale-up lives — cost only their nonzeros. */
+  private final class Spa(blockSize: Int, zero: Double) {
+    val vals = new Array[Double](blockSize)
+    private val mark = new Array[Int](blockSize)
+    private val touched = new Array[Int](blockSize)
+    private var nTouched = 0
+    private var gen = 0
+    def startRow(): Unit = { gen += 1; nTouched = 0 }
+    def accumulate(j: Int, v: Double, add: (Double, Double) => Double): Unit =
+      if (mark(j) == gen) vals(j) = add(vals(j), v)
+      else { mark(j) = gen; vals(j) = v; touched(nTouched) = j; nTouched += 1 }
+    /** Sorted touched columns for deterministic CSR order. */
+    def sortedTouched(): Array[Int] = {
+      val t = java.util.Arrays.copyOf(touched, nTouched)
+      java.util.Arrays.sort(t)
+      t
+    }
+  }
+
   /** Block SpGEMM: C = A · B over (zero, add, mult) — the SUMMA dataflow
     * (reference Mult_AnXBn_Synch, ParFriends.h:1018-1123): join block pairs
     * on the inner block index (their √p broadcast stages), multiply each
-    * pair with a local CSR×CSR kernel, and merge partial blocks by
+    * pair with a local CSR×CSR SPA kernel, and merge partial CSR blocks by
     * (rowBlock, colBlock) (their multiway merge, MultiwayMerge.h:411-760).
+    * SPA scratch is allocated once per task, not per pair.
     *
     * A is stored rows=dst per [[fromEdges]]; for C = A·B interpret row/col
     * generically: C(i,j) = Σ_k A(i,k)·B(k,j) with i = A.rowBlock local
@@ -161,55 +187,82 @@ object BlockMatrix {
     val spark = a.sparkSession
     import spark.implicits._
     a.as("A").joinWith(b.as("B"), col("A.colBlock") === col("B.rowBlock"))
-      .map { case (ab, bb) =>
-        // local dense-accumulator CSR×CSR: for each row i of A-block,
-        // for each k with A(i,k)≠0, scatter mult(A(i,k), B(k,j)) into acc.
-        val acc = Array.fill(blockSize * blockSize)(zero)
-        var i = 0
-        while (i < blockSize) {
-          var p = ab.rowPtr(i)
-          val pEnd = ab.rowPtr(i + 1)
-          while (p < pEnd) {
-            val k = ab.colIdx(p); val av = ab.values(p)
-            var q = bb.rowPtr(k)
-            val qEnd = bb.rowPtr(k + 1)
-            while (q < qEnd) {
-              val j = bb.colIdx(q)
-              val idx = i * blockSize + j
-              acc(idx) = add(acc(idx), mult(av, bb.values(q)))
-              q += 1
-            }
-            p += 1
-          }
-          i += 1
-        }
-        ((ab.rowBlock, bb.colBlock), acc)
-      }
-      .groupByKey(_._1)
-      .mapGroups { (key: (Int, Int), it: Iterator[((Int, Int), Array[Double])]) =>
-        val (rb, cb) = key
-        val acc = Array.fill(blockSize * blockSize)(zero)
-        it.foreach { case (_, part) =>
+      .mapPartitions { pairs =>
+        val spa = new Spa(blockSize, zero)
+        pairs.map { case (ab, bb) =>
+          val rowPtr = new Array[Int](blockSize + 1)
+          val cols = collection.mutable.ArrayBuffer[Int]()
+          val vals = collection.mutable.ArrayBuffer[Double]()
           var i = 0
-          while (i < acc.length) { acc(i) = add(acc(i), part(i)); i += 1 }
+          while (i < blockSize) {
+            spa.startRow()
+            var p = ab.rowPtr(i)
+            val pEnd = ab.rowPtr(i + 1)
+            while (p < pEnd) {
+              val k = ab.colIdx(p); val av = ab.values(p)
+              var q = bb.rowPtr(k)
+              val qEnd = bb.rowPtr(k + 1)
+              while (q < qEnd) {
+                spa.accumulate(bb.colIdx(q), mult(av, bb.values(q)), add)
+                q += 1
+              }
+              p += 1
+            }
+            for (j <- spa.sortedTouched()) { cols += j; vals += spa.vals(j) }
+            rowPtr(i + 1) = cols.length
+            i += 1
+          }
+          MatrixBlock(ab.rowBlock, bb.colBlock, rowPtr, cols.toArray, vals.toArray)
         }
-        // compress back to CSR, dropping zeros
+      }
+      .groupByKey(blk => (blk.rowBlock, blk.colBlock))
+      .mapGroups { (key: (Int, Int), it: Iterator[MatrixBlock]) =>
+        val (rb, cb) = key
+        val parts = it.toArray
+        val spa = new Spa(blockSize, zero)
         val rowPtr = new Array[Int](blockSize + 1)
         val cols = collection.mutable.ArrayBuffer[Int]()
         val vals = collection.mutable.ArrayBuffer[Double]()
         var i = 0
         while (i < blockSize) {
-          var j = 0
-          while (j < blockSize) {
-            val v = acc(i * blockSize + j)
+          spa.startRow()
+          var pi = 0
+          while (pi < parts.length) {
+            val part = parts(pi)
+            var p = part.rowPtr(i)
+            val pEnd = part.rowPtr(i + 1)
+            while (p < pEnd) {
+              spa.accumulate(part.colIdx(p), part.values(p), add)
+              p += 1
+            }
+            pi += 1
+          }
+          // drop entries that summed to the identity (structural zeros)
+          for (j <- spa.sortedTouched()) {
+            val v = spa.vals(j)
             if (v != zero) { cols += j; vals += v }
-            j += 1
           }
           rowPtr(i + 1) = cols.length
           i += 1
         }
         MatrixBlock(rb, cb, rowPtr, cols.toArray, vals.toArray)
       }
+  }
+
+  /** Memory-bounded phased SpGEMM — the reference's MemEfficientSpGEMM
+    * (ParFriends.h:452-745) runs SUMMA in column phases so no single stage
+    * materializes all partial products. The column-block ranges of C are
+    * disjoint, so phase results concatenate without a merge; `phases` plays
+    * the role of the reference's memory-estimate-derived phase count. */
+  def spgemmPhased(a: Dataset[MatrixBlock], b: Dataset[MatrixBlock],
+                   blockSize: Int, nBlocks: Int, phases: Int,
+                   zero: Double, add: (Double, Double) => Double,
+                   mult: (Double, Double) => Double): Dataset[MatrixBlock] = {
+    val per = math.max(1, (nBlocks + phases - 1) / phases)
+    (0 until nBlocks by per).map { lo =>
+      val slice = b.filter(blk => blk.colBlock >= lo && blk.colBlock < lo + per)
+      spgemm(a, slice, blockSize, zero, add, mult)
+    }.reduce(_ union _)
   }
 
   /** Blocks → COO relation (src=col, dst=row per the [[fromEdges]]

@@ -63,6 +63,20 @@ class BlockSpec extends AnyFunSuite {
     for ((k, v) <- plain) assert(math.abs(blocked(k) - v) < 1e-9, s"$k")
   }
 
+  test("phased SpGEMM (MemEfficient analog) equals single-phase") {
+    val spark2 = spark
+    import spark2.implicits._
+    val we = e.withColumn("w", (col("src") % 3 + 1).cast("double"))
+    val blocks = BlockMatrix.fromEdges(we, 32)
+    val nb = BlockMatrix.numBlocks(100, 32)
+    def coo(c: org.apache.spark.sql.Dataset[MatrixBlock]) =
+      BlockMatrix.toCoo(c, 32).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val one = coo(BlockMatrix.spgemm(blocks, blocks, 32, 0.0, _ + _, _ * _))
+    val phased = coo(BlockMatrix.spgemmPhased(blocks, blocks, 32, nb, 3, 0.0, _ + _, _ * _))
+    assert(one == phased)
+  }
+
   test("blocked PageRank matches plain PageRank to 1e-12") {
     val plain = PageRank.runExact(e, v, 10, 0.85).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
