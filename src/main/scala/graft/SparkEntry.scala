@@ -101,7 +101,8 @@ object SparkEntry {
     "dedup_lsh_pairs" -> ((s, dir) =>
       dedup.Dedup.lshCandidates(Tables.documents(s, dir)).orderBy("a", "b")),
     "dedup_jaccard" -> ((s, dir) =>
-      dedup.Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.05).orderBy("a", "b")),
+      dedup.Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.05, maxDf = 100)
+        .orderBy("a", "b")),
     "dedup_simhash" -> ((s, dir) =>
       dedup.Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
     "ann_topk" -> ((s, dir) =>
@@ -113,6 +114,10 @@ object SparkEntry {
         .groupBy("bucket").agg(count(lit(1)).as("n")).orderBy("bucket")),
     "ann_lsh_topk" -> ((s, dir) =>
       sim.Ann.bucketedTopK(Tables.embeddings(s, dir), 20, 5, 8).orderBy("qid", "rank")),
+    "ann_multitable" -> ((s, dir) =>
+      sim.Ann.multiTableTopK(Tables.embeddings(s, dir), 20, 5, bits = 8,
+          tables = 8, bucketCap = 50)
+        .orderBy("qid", "rank")),
     "bandwidth" -> ((s, dir) =>
       operators.EWise.bandwidth(LinkGraph.edges(s, dir))),
     "events_window" -> ((s, dir) =>
@@ -168,12 +173,14 @@ object SparkEntry {
     "dedup_exact" -> TextOracles.dedupExactSql,
     "dedup_minhash" -> TextOracles.minhashSql,
     "dedup_lsh_pairs" -> TextOracles.lshPairsSql,
-    "dedup_jaccard" -> TextOracles.ngramJaccardSql(3, "0.05"),
+    "dedup_jaccard" -> TextOracles.ngramJaccardSql(3, "0.05", maxDf = 100),
     "dedup_simhash" -> TextOracles.simhashSql,
     "ann_topk" -> TextOracles.annTopKSql(20, 5),
     "embed_norms" -> TextOracles.embedNormsSql,
     "ann_buckets" -> TextOracles.annBucketsSql(8),
     "ann_lsh_topk" -> TextOracles.annLshTopKSql(20, 5, 8),
+    "ann_multitable" -> TextOracles.annMultiTableSql(20, 5, bits = 8,
+      tables = 8, bucketCap = 50),
     "bandwidth" -> OpOracles.bandwidthSql,
     "events_window" -> TextOracles.eventsWindowSql,
     "events_sessions" -> TextOracles.eventsSessionsSql(1800),

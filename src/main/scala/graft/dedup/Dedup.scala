@@ -62,14 +62,27 @@ object Dedup {
   }
 
   /** Word n-gram Jaccard similarity for all pairs above `minJaccard`,
-    * via inverted-index join on shared n-grams (never all-pairs). */
-  def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.1): DataFrame = {
-    val grams = docs.where(size(TextOps.tokens(col("text"))) >= n)
+    * via inverted-index join on shared n-grams (never all-pairs).
+    *
+    * Scale guard: grams with document frequency > `maxDf` are dropped
+    * BEFORE the pair join — one boilerplate stop-phrase shared by 10⁶ docs
+    * would otherwise contribute 10¹² join rows. Jaccard is then computed
+    * consistently over the df-pruned gram universe (both |A∩B| and the
+    * sizes), which is the standard inverted-index contract: ubiquitous
+    * grams carry no similarity signal. */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.1,
+                   maxDf: Long = Long.MaxValue): DataFrame = {
+    val grams0 = docs.where(size(TextOps.tokens(col("text"))) >= n)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(TextOps.tokens(col("text"))) - n),
           i => concat_ws(" ", slice(TextOps.tokens(col("text")), i + 1, lit(n))))).as("gram"))
       .distinct()
-      .persist()
+    val grams = (if (maxDf == Long.MaxValue) grams0
+      else grams0.join(
+        grams0.groupBy("gram").agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxDf).select("gram"),
+        Seq("gram"), "left_semi"))
+      .localCheckpoint()
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = grams.select(col("doc_id").as("a"), col("gram"))
       .join(grams.select(col("doc_id").as("b"), col("gram")), "gram")

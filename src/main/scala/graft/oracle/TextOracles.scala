@@ -67,15 +67,24 @@ object TextOracles {
        |ORDER BY a, b""".stripMargin
   }
 
-  def ngramJaccardSql(n: Int = 3, minJaccard: String = "0.05"): String =
-    s"""WITH g AS MATERIALIZED (
+  def ngramJaccardSql(n: Int = 3, minJaccard: String = "0.05",
+                      maxDf: Long = Long.MaxValue): String = {
+    val dfPrune =
+      if (maxDf == Long.MaxValue) ""
+      else s"""g AS MATERIALIZED (
+              |  SELECT g0.* FROM g0
+              |  JOIN (SELECT g FROM g0 GROUP BY g HAVING count(*) <= $maxDf) keep
+              |  USING (g)),
+              |""".stripMargin
+    val firstName = if (maxDf == Long.MaxValue) "g" else "g0"
+    s"""WITH $firstName AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, g FROM (
        |    SELECT doc_id,
        |           unnest([list_aggregate(toks[i:i+${n - 1}], 'string_agg', ' ')
        |                   for i in range(1, len(toks)-${n - 2})]) AS g
        |    FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)) t
        |  WHERE g IS NOT NULL),
-       |sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+       |${dfPrune}sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
        |inter AS MATERIALIZED (
        |  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
        |  FROM g x JOIN g y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2)
@@ -84,6 +93,38 @@ object TextOracles {
        |FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
        |WHERE CAST(inter AS DOUBLE)/CAST(sa.sz + sb.sz - inter AS DOUBLE) >= CAST('$minJaccard' AS DOUBLE)
        |ORDER BY a, b""".stripMargin
+  }
+
+  def annMultiTableSql(nQueries: Int = 20, k: Int = 5, bits: Int = 16,
+                       tables: Int = 4, bucketCap: Int = 1000): String = {
+    val tableSelects = (0 until tables).map { t =>
+      val bucket = (0 until bits)
+        .map(i => s"(CASE WHEN embedding[${t * bits + i + 1}] >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, CAST($bucket AS BIGINT) AS bucket FROM embeddings"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH allb AS MATERIALIZED (
+       |  $tableSelects),
+       |capped AS MATERIALIZED (
+       |  SELECT vec_id, tbl, bucket FROM (
+       |    SELECT vec_id, tbl, bucket,
+       |           row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS rn
+       |    FROM allb) WHERE rn <= $bucketCap),
+       |pairs AS MATERIALIZED (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+       |  FROM capped q JOIN capped c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |   AND q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
+       |$annBase,
+       |scored AS MATERIALIZED (
+       |  SELECT p.qid, p.nid,
+       |         list_dot_product(q.e, c.e)/(q.norm*c.norm) AS cos
+       |  FROM pairs p JOIN base q ON q.vec_id = p.qid
+       |               JOIN base c ON c.vec_id = p.nid)
+       |SELECT qid, nid, rank FROM (
+       |  SELECT qid, nid,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
 
   def simhashSql: String = {
     val sums = (0 until 32).map { j =>

@@ -54,6 +54,52 @@ object Ann {
     emb.select(col("vec_id"), bucket.as("bucket"))
   }
 
+  /** Multi-table sign-LSH: table t hashes the sign bits of dimensions
+    * [t·bits, (t+1)·bits) — `tables` independent hyperplane families, so a
+    * near neighbor missed by one table is caught by another (recall), while
+    * MORE bits per table (16 → 65k buckets) keeps each bucket small
+    * (sub-quadratic candidate joins). (vec_id, tbl, bucket) */
+  def multiTableBuckets(emb: DataFrame, bits: Int, tables: Int): DataFrame =
+    (0 until tables).map { t =>
+      val bucket = (0 until bits).map { i =>
+        when(element_at(col("embedding"), t * bits + i + 1) >= 0f, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      emb.select(col("vec_id"), lit(t).as("tbl"), bucket.as("bucket"))
+    }.reduce(_ unionByName _)
+
+  /** Multi-table bucketed ANN with a deterministic per-bucket cap: within
+    * each (table, bucket) only the first `bucketCap` vec_ids participate,
+    * so one degenerate bucket (near-duplicate embeddings, zero-heavy dims)
+    * is bounded at cap² pairs instead of going quadratic in the corpus.
+    * Candidates are the DISTINCT union over tables; ranking is exact
+    * cosine with the (cos desc, nid asc) pinned tiebreak.
+    * @return (qid, nid, rank) */
+  def multiTableTopK(emb: DataFrame, nQueries: Int, k: Int, bits: Int = 16,
+                     tables: Int = 4, bucketCap: Int = 1000): DataFrame = {
+    val byBucket = Window.partitionBy("tbl", "bucket").orderBy("vec_id")
+    val b = multiTableBuckets(emb, bits, tables)
+      .withColumn("rn", row_number().over(byBucket))
+      .where(col("rn") <= bucketCap)
+      .select("vec_id", "tbl", "bucket")
+    val pairs = b.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+      .join(b.select(col("vec_id").as("nid"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .where(col("qid") =!= col("nid"))
+      .select("qid", "nid").distinct()
+    val base = emb.select(col("vec_id"), dvec(col("embedding")).as("e"))
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+    val scored = pairs
+      .join(base.select(col("vec_id").as("qid"), col("e").as("qe"), col("norm").as("qn")), "qid")
+      .join(base.select(col("vec_id").as("nid"), col("e").as("ne"), col("norm").as("nn")), "nid")
+      .withColumn("cos", dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
+    val byQ = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(byQ).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
   /** Bucketed ANN: exact cosine ranking restricted to same-bucket
     * candidates — the IVF/LSH scale path. (qid, nid, rank) */
   def bucketedTopK(emb: DataFrame, nQueries: Int, k: Int, bits: Int = 8): DataFrame = {

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+import graft.sim.Ann
+
+/** Degenerate-input guards for the similarity ops: one hot shingle / one
+  * degenerate LSH bucket must stay bounded, never quadratic. */
+class ScaleGuardSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("ngramJaccard df-pruning bounds a hot boilerplate shingle") {
+    val s = spark
+    import s.implicits._
+    // 60 docs sharing a 6-token boilerplate prefix + a unique tail:
+    // every pair shares the boilerplate grams -> quadratic pair blowup
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"the quick brown fox jumps over unique$i tail$i end$i")
+    }.toDF("doc_id", "text")
+    val unpruned = Dedup.ngramJaccard(docs, 3, 0.01).count()
+    assert(unpruned >= 1000, s"expected quadratic pair count, got $unpruned")
+    // df-prune drops the boilerplate grams (df=60 > 10); unique tails share
+    // nothing, so the candidate set collapses to zero
+    val pruned = Dedup.ngramJaccard(docs, 3, 0.01, maxDf = 10).count()
+    assert(pruned == 0, s"expected df-pruned pair count 0, got $pruned")
+  }
+
+  /** All-positive vectors: every table hashes everything into one bucket —
+    * the degenerate case the cap exists for. */
+  private def onePosBucket(n: Int) = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate(64)(j => 0.1f + ((i * 31 + j * 7) % 11) * 0.13f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("multi-table ANN bucket cap bounds a degenerate bucket") {
+    val emb = onePosBucket(80)
+    val capped = Ann.multiTableTopK(emb, 20, 5, bits = 16, tables = 4, bucketCap = 5)
+      .collect()
+    // only the first 5 vec_ids participate in the single live bucket
+    assert(capped.nonEmpty)
+    assert(capped.forall(r => r.getLong(0) < 5 && r.getLong(1) < 5), "cap by vec_id order")
+    assert(capped.length <= 5 * 4)
+  }
+
+  test("uncapped multi-table ANN on a single bucket equals exact top-k") {
+    val emb = onePosBucket(40)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val lsh = rows(Ann.multiTableTopK(emb, 8, 3, bits = 16, tables = 4, bucketCap = 1000))
+    val exact = rows(Ann.cosineTopK(emb, 8, 3))
+    assert(lsh == exact) // single shared bucket => candidate set is all pairs
+  }
+}
