@@ -40,6 +40,14 @@ object SparkEntry {
       val root = LinkGraph.vertices(s, dir).agg(min(col("v"))).first().getLong(0)
       SSSP.run(LinkGraph.weightedEdges(s, dir), root).orderBy("vid")
     }),
+    "bipartite_match" -> ((s, dir) => {
+      val be = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").cast("long").as("r"),
+          col("l_partkey").cast("long").as("c")).distinct()
+      BipartiteMatching.run(be).orderBy("r")
+    }),
+    "rcm_order" -> ((s, dir) =>
+      RCM.order(LinkGraph.edges(s, dir)).orderBy("vid")),
     "reduce_row" -> ((s, dir) =>
       MatrixOps.reduceRows(LinkGraph.weightedEdges(s, dir)).orderBy("v")),
     "masked_reduce" -> ((s, dir) => {
@@ -156,6 +164,8 @@ object SparkEntry {
     "tricnt" -> GraphOracles.trianglesSql,
     "bfs_levels" -> GraphOracles.bfsSql(),
     "sssp" -> GraphOracles.ssspSql(),
+    "bipartite_match" -> GraphOracles.matchingSql(),
+    "rcm_order" -> GraphOracles.rcmSql(),
     "reduce_row" -> OpOracles.reduceRowsSql,
     "masked_reduce" -> OpOracles.maskedReduceSql(115),
     "kselect3" -> OpOracles.kselectSql(3),

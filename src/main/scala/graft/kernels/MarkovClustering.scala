@@ -30,11 +30,16 @@ import graft.operators.MatrixOps
 object MarkovClustering {
 
   /** @param edges symmetric weighted (src, dst, w), w > 0
+    * @param recoverNum re-admit the top-recoverNum entries of a column the
+    *        hard threshold over-pruned (kept nnz < recoverNum AND kept mass
+    *        < recoverPct) — the MCL.cpp -R/-pct knobs scaled for test
+    *        graphs; 0 disables recovery (prune+select only)
     * @return (vid: long, cluster: long) — cluster = min vid of its cluster */
   def run(edges: DataFrame, vertices: DataFrame,
           inflation: Double = 2.0, maxIters: Int = 20,
           epsilon: Double = 1e-4, pruneThreshold: Double = 1e-4,
-          selectTop: Int = 50): DataFrame = {
+          selectTop: Int = 50, recoverNum: Int = 10,
+          recoverPct: Double = 0.5): DataFrame = {
 
     // AdjustLoops: ensure a self-loop per vertex (reference MCL.cpp:463)
     val selfLoops = vertices.select(col("v").as("src"), col("v").as("dst"), lit(1.0).as("w"))
@@ -50,7 +55,8 @@ object MarkovClustering {
       val expanded = MatrixOps.spgemm(a, a, PlusTimes)
       val inflated = expanded.select(col("src"), col("dst"),
         pow(col("w"), inflation).as("w"))
-      val pruned = select(normalizeColumns(inflated), pruneThreshold, selectTop)
+      val pruned = pruneRecoverySelect(normalizeColumns(inflated),
+        pruneThreshold, selectTop, recoverNum, recoverPct)
       a = normalizeColumns(pruned).localCheckpoint()
       chaos = chaosOf(a)
     }
@@ -69,7 +75,7 @@ object MarkovClustering {
   }
 
   /** Hard-threshold prune + per-column top-S select (reference
-    * MCLPruneRecoverySelect, ParFriends.h:188-356). */
+    * MCLPruneRecoverySelect, ParFriends.h:188-356; select-only form). */
   def select(m: DataFrame, threshold: Double, top: Int): DataFrame = {
     val byCol = Window.partitionBy("dst").orderBy(col("w").desc, col("src").asc)
     m.where(col("w") >= threshold)
@@ -78,10 +84,57 @@ object MarkovClustering {
       .select("src", "dst", "w")
   }
 
-  /** Chaos = max over columns of (colMax − Σ w²) (reference MCL.cpp:407-421). */
+  /** Full prune → recover → select (reference MCLPruneRecoverySelect,
+    * ParFriends.h:188-356). Per column the effective keep-rule is:
+    *  - RECOVER (hard threshold kept < recoverNum entries AND < recoverPct
+    *    of the pre-prune entry count remained... precisely: kept nnz <
+    *    recoverNum, kept nnz < unpruned nnz, kept mass < recoverPct):
+    *    keep w ≥ the recoverNum-th largest UNPRUNED value (Kselect on A) —
+    *    over-pruned columns re-admit their top entries;
+    *  - SELECT (kept nnz > selectNum): keep w ≥ the selectNum-th largest
+    *    value (ties at the boundary survive, as the reference's
+    *    PruneColumn-by-value does);
+    *  - otherwise keep w > threshold (the reference's Prune(less_equal)).
+    * Deviation (documented): the reference's post-select second recovery
+    * attempt (ParFriends.h:290-356) is dropped — it only fires when
+    * selection itself re-starves a column, which the value-threshold
+    * select here cannot do below selectNum. */
+  def pruneRecoverySelect(m: DataFrame, threshold: Double, selectNum: Int,
+                          recoverNum: Int, recoverPct: Double): DataFrame = {
+    if (recoverNum <= 0) return select(m, threshold, selectNum)
+    val byCol = Window.partitionBy("dst").orderBy(col("w").desc, col("src").asc)
+    val ranked = m.withColumn("rn", row_number().over(byCol)).localCheckpoint()
+    val stats = ranked.groupBy("dst").agg(
+      count(lit(1)).as("allNnz"),
+      sum(when(col("w") > threshold, 1L).otherwise(0L)).as("keptNnz"),
+      sum(when(col("w") > threshold, col("w")).otherwise(0.0)).as("keptSum"))
+    val mode = stats
+      .withColumn("doRecover", col("keptNnz") < recoverNum &&
+        col("allNnz") > col("keptNnz") && col("keptSum") < recoverPct)
+      .withColumn("doSelect", !col("doRecover") && col("keptNnz") > selectNum)
+      .select("dst", "doRecover", "doSelect")
+    val thrRec = ranked.where(col("rn") === recoverNum)
+      .select(col("dst"), col("w").as("thrRec"))
+    val thrSel = ranked.where(col("rn") === selectNum)
+      .select(col("dst"), col("w").as("thrSel"))
+    ranked.join(mode, "dst")
+      .join(thrRec, Seq("dst"), "left")
+      .join(thrSel, Seq("dst"), "left")
+      .where(
+        when(col("doRecover"),
+          // column shorter than recoverNum → no kth value → keep all
+          col("w") >= coalesce(col("thrRec"), lit(Double.NegativeInfinity)))
+        .when(col("doSelect"), col("w") >= col("thrSel"))
+        .otherwise(col("w") > threshold))
+      .select("src", "dst", "w")
+  }
+
+  /** Chaos = max over columns of (colMax − Σ w²) · nnz
+    * (reference MCL.cpp Chaos: colmaxs −= colssqs, then EWiseApply with
+    * nnzPerColumn via multiplies, then max-reduce). */
   def chaosOf(m: DataFrame): Double = {
     val r = m.groupBy("dst")
-      .agg((max("w") - sum(col("w") * col("w"))).as("c"))
+      .agg(((max("w") - sum(col("w") * col("w"))) * count(lit(1))).as("c"))
       .agg(coalesce(max("c"), lit(0.0)))
       .first().getDouble(0)
     r

@@ -109,6 +109,50 @@ object GraphOracles {
       s"\nSELECT v AS vid, d AS dist FROM d$iters ORDER BY vid"
   }
 
+  /** Unrolled mutual-min handshake rounds — deterministic, and idempotent
+    * once the active edge set drains, so any rounds ≥ the kernel's cap
+    * compares equal. */
+  def matchingSql(rounds: Int = 20): String = {
+    val head =
+      s"""WITH be AS MATERIALIZED (
+         |  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS r,
+         |         CAST(l_partkey AS BIGINT) AS c FROM lineitem),
+         |m0 AS (SELECT CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS c WHERE 1=0),
+         |a0 AS (SELECT * FROM be)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      val (ap, mp) = (s"a${i - 1}", s"m${i - 1}")
+      s"""acc$i AS MATERIALIZED (
+         |  SELECT min(r) AS r, c FROM (
+         |    SELECT r, min(c) AS c FROM $ap GROUP BY r) GROUP BY c),
+         |m$i AS MATERIALIZED (SELECT * FROM $mp UNION ALL SELECT r, c FROM acc$i),
+         |a$i AS MATERIALIZED (
+         |  SELECT * FROM $ap
+         |  WHERE r NOT IN (SELECT r FROM acc$i)
+         |    AND c NOT IN (SELECT c FROM acc$i))""".stripMargin
+    }
+    (head +: steps).mkString(",\n") + s"\nSELECT r, c FROM m$rounds ORDER BY r"
+  }
+
+  /** Cuthill-McKee level-set ordering, reversed: BFS levels from the
+    * (degree, id)-minimum root, ranked by (level, degree, id). */
+  def rcmSql(maxDepth: Int = 50): String =
+    s"""WITH RECURSIVE $edgesCte,
+       |deg AS MATERIALIZED (SELECT src AS v, count(*) AS deg FROM edges GROUP BY src),
+       |rt AS MATERIALIZED (SELECT v FROM deg ORDER BY deg ASC, v ASC LIMIT 1),
+       |bfs(v, d) AS (
+       |  SELECT CAST((SELECT v FROM rt) AS BIGINT), 0
+       |  UNION
+       |  SELECT e.dst, b.d + 1 FROM bfs b JOIN edges e ON e.src = b.v
+       |  WHERE b.d < $maxDepth),
+       |lvl AS MATERIALIZED (SELECT v, min(d) AS dist FROM bfs GROUP BY v),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM lvl)
+       |SELECT l.v AS vid,
+       |       CAST((SELECT n FROM nn)
+       |            - row_number() OVER (ORDER BY l.dist ASC, dg.deg ASC, l.v ASC)
+       |         AS BIGINT) AS rcm
+       |FROM lvl l JOIN deg dg ON dg.v = l.v
+       |ORDER BY vid""".stripMargin
+
   def bfsSql(maxDepth: Int = 10): String =
     s"""WITH RECURSIVE $edgesCte,
        |bfs(v, d) AS (

@@ -33,6 +33,29 @@ class MclBcSpec extends AnyFunSuite {
     assert(clusters.values.toSet.size == 3)
   }
 
+  test("pruneRecoverySelect re-admits top entries of over-pruned columns") {
+    val s = spark
+    import s.implicits._
+    // column 0: 20 sub-threshold entries with distinct values -> the hard
+    // threshold alone would empty it; recovery must keep the top 3.
+    // column 1: two healthy entries -> default strict-threshold rule.
+    val m = ((1 to 20).map(i => (i.toLong, 0L, 0.001 * i)) ++
+      Seq((1L, 1L, 0.6), (2L, 1L, 0.4))).toDF("src", "dst", "w")
+    val out = MarkovClustering.pruneRecoverySelect(m, 0.05, 5, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.filter(_._2 == 0L).map(_._1).toSet == Set(18L, 19L, 20L),
+      s"recovery should keep top-3 of column 0: ${out.toSeq}")
+    assert(out.filter(_._2 == 1L).map(_._1).toSet == Set(1L, 2L))
+  }
+
+  test("chaos carries the reference's per-column nnz factor") {
+    val s = spark
+    import s.implicits._
+    val m = Seq((0L, 0L, 0.7), (1L, 0L, 0.3)).toDF("src", "dst", "w")
+    // (max 0.7 − (0.49 + 0.09)) × nnz 2 = 0.24
+    assert(math.abs(MarkovClustering.chaosOf(m) - 0.24) < 1e-12)
+  }
+
   test("batched Brandes matches brute force on path graph") {
     val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
     val e = undirected(pairs)
