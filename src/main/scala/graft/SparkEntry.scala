@@ -166,6 +166,8 @@ object SparkEntry {
     "sssp" -> GraphOracles.ssspSql(),
     "bipartite_match" -> GraphOracles.matchingSql(),
     "rcm_order" -> GraphOracles.rcmSql(),
+    "mis" -> GraphOracles.misSql(),
+    "bc_batch" -> GraphOracles.bcSql(),
     "reduce_row" -> OpOracles.reduceRowsSql,
     "masked_reduce" -> OpOracles.maskedReduceSql(115),
     "kselect3" -> OpOracles.kselectSql(3),

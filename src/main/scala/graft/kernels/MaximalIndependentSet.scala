@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   *
   * The neighbor-minimum is the Select2ndMin SpMV over a (priority, id)
   * struct — Spark orders structs lexicographically, so `min` implements
-  * the total order directly. */
+  * the total order directly. The priority is md5(seed:v) — identical hex
+  * in every engine, so the DuckDB oracle replays the exact same rounds
+  * (xxhash64 would be Spark-only). */
 object MaximalIndependentSet {
 
   /** @param edges symmetric (src, dst); @return (v: long) — the MIS. */
@@ -29,7 +31,8 @@ object MaximalIndependentSet {
     while (remaining > 0 && round < maxRounds) {
       round += 1
       val prio = active.select(col("v"),
-        struct(xxhash64(lit(seed), col("v")).as("p"), col("v").as("id")).as("pr"))
+        struct(md5(concat_ws(":", lit(seed.toString), col("v").cast("string"))).as("p"),
+          col("v").as("id")).as("pr"))
       val nbrMin = activeEdges
         .join(prio.select(col("v").as("src"), col("pr")), Seq("src"))
         .groupBy(col("dst").as("v"))

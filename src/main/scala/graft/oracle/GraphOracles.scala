@@ -109,6 +109,84 @@ object GraphOracles {
       s"\nSELECT v AS vid, d AS dist FROM d$iters ORDER BY vid"
   }
 
+  /** Unrolled Luby rounds with the kernel's md5(seed:v) priorities —
+    * idempotent once the active set drains, so rounds ≥ the kernel's
+    * actual round count compare equal. */
+  def misSql(seed: Long = 42L, rounds: Int = 24): String = {
+    val head =
+      s"""WITH RECURSIVE $edgesCte,
+         |pri AS MATERIALIZED (
+         |  SELECT v, md5('$seed:' || CAST(v AS VARCHAR)) AS p FROM verts),
+         |act0 AS (SELECT v FROM verts),
+         |mis0 AS (SELECT CAST(0 AS BIGINT) AS v WHERE 1=0)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      val a = s"act${i - 1}"
+      s"""nm$i AS MATERIALIZED (
+         |  SELECT e.dst AS v, min(pr.p) AS np
+         |  FROM edges e
+         |  JOIN $a sa ON sa.v = e.src
+         |  JOIN $a sb ON sb.v = e.dst
+         |  JOIN pri pr ON pr.v = e.src
+         |  GROUP BY e.dst),
+         |win$i AS MATERIALIZED (
+         |  SELECT a.v FROM $a a JOIN pri p ON p.v = a.v
+         |  LEFT JOIN nm$i n ON n.v = a.v
+         |  WHERE n.np IS NULL OR p.p < n.np),
+         |rem$i AS MATERIALIZED (
+         |  SELECT v FROM win$i
+         |  UNION
+         |  SELECT e.dst AS v FROM edges e JOIN win$i w ON w.v = e.src),
+         |act$i AS MATERIALIZED (
+         |  SELECT v FROM $a WHERE v NOT IN (SELECT v FROM rem$i)),
+         |mis$i AS (SELECT v FROM mis${i - 1} UNION ALL SELECT v FROM win$i)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT CAST(v AS BIGINT) AS v FROM mis$rounds ORDER BY v"
+  }
+
+  /** Batched Brandes: unrolled level-synchronous forward BFS with path
+    * counts, then backward dependency accumulation, mirroring the Spark
+    * kernel's join shapes term-for-term (σ sums are integral-exact; δ
+    * sums round to 6 decimals on both sides). */
+  def bcSql(nSources: Int = 16, levels: Int = 10): String = {
+    val head =
+      s"""WITH RECURSIVE $edgesCte,
+         |srcs AS MATERIALIZED (SELECT v AS s FROM verts ORDER BY v LIMIT $nSources),
+         |f0 AS MATERIALIZED (SELECT s, s AS v, CAST('1' AS DOUBLE) AS sigma FROM srcs),
+         |vis0 AS (SELECT s, v FROM f0)""".stripMargin
+    val forward = (1 to levels).map { l =>
+      s"""f$l AS MATERIALIZED (
+         |  SELECT f.s, e.dst AS v, sum(f.sigma) AS sigma
+         |  FROM f${l - 1} f JOIN edges e ON e.src = f.v
+         |  LEFT JOIN vis${l - 1} x ON x.s = f.s AND x.v = e.dst
+         |  WHERE x.v IS NULL
+         |  GROUP BY f.s, e.dst),
+         |vis$l AS MATERIALIZED (
+         |  SELECT s, v FROM vis${l - 1} UNION ALL SELECT s, v FROM f$l)""".stripMargin
+    }
+    val back = List(
+      s"dl$levels AS MATERIALIZED (SELECT s, v, sigma, CAST('0' AS DOUBLE) AS delta FROM f$levels)") ++
+      (levels - 1 to 0 by -1).map { l =>
+        s"""c$l AS MATERIALIZED (
+           |  SELECT u.s, u.v,
+           |         sum(u.sigma / w.sigma * (w.delta + CAST('1' AS DOUBLE))) AS contrib
+           |  FROM f$l u
+           |  JOIN edges e ON e.src = u.v
+           |  JOIN dl${l + 1} w ON w.s = u.s AND w.v = e.dst
+           |  GROUP BY u.s, u.v),
+           |dl$l AS MATERIALIZED (
+           |  SELECT u.s, u.v, u.sigma, COALESCE(c.contrib, CAST('0' AS DOUBLE)) AS delta
+           |  FROM f$l u LEFT JOIN c$l c ON c.s = u.s AND c.v = u.v)""".stripMargin
+      }
+    val unionAll = (0 to levels).map(l => s"SELECT s, v, delta FROM dl$l")
+      .mkString("\n  UNION ALL ")
+    (head +: (forward ++ back)).mkString(",\n") +
+      s"""
+         |SELECT v AS vid, round(sum(delta), 6) AS bc FROM (
+         |  $unionAll)
+         |WHERE v <> s GROUP BY v ORDER BY vid""".stripMargin
+  }
+
   /** Unrolled mutual-min handshake rounds — deterministic, and idempotent
     * once the active edge set drains, so any rounds ≥ the kernel's cap
     * compares equal. */
