@@ -58,6 +58,10 @@ object Bench {
       val root = verts.agg(min(col("v"))).first().getLong(0)
       BFS.levels(edges, root).count()
     }
+    results("sssp") = time {
+      val root = verts.agg(min(col("v"))).first().getLong(0)
+      SSSP.run(LinkGraph.weightedEdges(spark, sfDir), root).count()
+    }
     results("spgemm") = time {
       operators.MatrixOps.spgemm(edges, edges, PlusTimes)
         .groupBy(col("src")).agg(sum(col("w"))).count()

@@ -62,12 +62,45 @@ object ScalingBench {
       }
       val harmonic = teps.length / teps.map(1.0 / _).sum
       println(f"""{"metric":"bfs_harmonic_teps","value":$harmonic%.0f,"unit":"edges/sec","roots":$k,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
-    } else if (mode == "cc") {
-      graft.kernels.ConnectedComponents.run(edges, verts).count() // warmup
+    } else if (mode == "bfs_bcast") {
+      // round-1 behavior for comparison: pure top-down, unconditional
+      // frontier broadcast (alpha=0 disables bottom-up; huge broadcastMax
+      // forces the broadcast join at every level)
+      val k = 8
+      val deg = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("outdeg"))
+      val roots = graft.operators.VectorOps.selectCandidates(deg, k, seed = 7L)
+        .collect().map(_.getLong(0)).toSeq
+      graft.kernels.BFS.levels(edges, roots.head,
+        broadcastMax = Long.MaxValue, alpha = 0.0).count() // warmup
+      val teps = roots.map { r =>
+        val t0 = System.nanoTime()
+        val visited = graft.kernels.BFS.levels(edges, r, maxDepth = 30,
+          broadcastMax = Long.MaxValue, alpha = 0.0).persist()
+        visited.count()
+        val traversed = edges.join(
+          visited.select(col("vid").as("src")), Seq("src"), "left_semi").count()
+        visited.unpersist(false)
+        traversed / ((System.nanoTime() - t0) / 1e9)
+      }
+      val harmonic = teps.length / teps.map(1.0 / _).sum
+      println(f"""{"metric":"bfs_harmonic_teps","value":$harmonic%.0f,"unit":"edges/sec","mode":"bcast_topdown","roots":$k,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+    } else if (mode == "sssp") {
+      val we = edges.withColumn("w", ((col("src") * 31 + col("dst")) % 5 + 1).cast("double"))
+        .persist()
+      we.count()
+      val root = 0L
+      graft.kernels.SSSP.run(we, root).count() // warmup
       val t0 = System.nanoTime()
-      graft.kernels.ConnectedComponents.run(edges, verts).count()
+      val n = graft.kernels.SSSP.run(we, root).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"metric":"cc_sec","value":$sec%.2f,"unit":"sec","scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+      println(f"""{"metric":"sssp_sec","value":$sec%.2f,"unit":"sec","reached":$n,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+    } else if (mode == "cc") {
+      val bmax = sys.env.getOrElse("SPARK_GRAFT_CC_BCAST", "5000000").toLong
+      graft.kernels.ConnectedComponents.run(edges, verts, broadcastMax = bmax).count() // warmup
+      val t0 = System.nanoTime()
+      graft.kernels.ConnectedComponents.run(edges, verts, broadcastMax = bmax).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"cc_sec","value":$sec%.2f,"unit":"sec","scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts,"bcastMax":$bmax}""")
     } else if (mode == "blocked") {
       val bs = 1 << math.max(10, scale - 3) // ~8x8 block grid
       graft.kernels.PageRankBlocked.run(edges, verts, bs, 1).count() // warmup

@@ -24,32 +24,47 @@ import graft.Tables
   */
 object LinkGraph {
 
+  /** Per-(session, dir) cache of the derived relations: a multi-query run
+    * (the Verify gate, the bench) otherwise re-executes the lineitem
+    * self-join for every kernel. Entries persist for the session — the
+    * working set is a handful of small derived tables per sf dir. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def cached(spark: SparkSession, dir: String, key: String)
+                    (build: => DataFrame): DataFrame =
+    cache.computeIfAbsent((spark, dir, key), _ => build.persist())
+
   /** Unweighted symmetric edges (src: long, dst: long). */
-  def edges(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey").as("ok"), col("l_partkey"))
-    val a = li.select(col("ok"), col("l_partkey").as("src"))
-    val b = li.select(col("ok"), col("l_partkey").as("dst"))
-    a.join(b, "ok")
-      .where(col("src") =!= col("dst"))
-      .select("src", "dst")
-      .distinct()
-  }
+  def edges(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "edges") {
+      val li = Tables.lineitem(spark, dir).select(col("l_orderkey").as("ok"), col("l_partkey"))
+      val a = li.select(col("ok"), col("l_partkey").as("src"))
+      val b = li.select(col("ok"), col("l_partkey").as("dst"))
+      a.join(b, "ok")
+        .where(col("src") =!= col("dst"))
+        .select("src", "dst")
+        .distinct()
+    }
 
   /** Weighted edges: w = number of distinct orders the pair co-occurs in. */
-  def weightedEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir).select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
-    val a = li.select(col("ok"), col("l_partkey").as("src"))
-    val b = li.select(col("ok"), col("l_partkey").as("dst"))
-    a.join(b, "ok")
-      .where(col("src") =!= col("dst"))
-      .groupBy("src", "dst")
-      .agg(count(lit(1)).cast("double").as("w"))
-  }
+  def weightedEdges(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "wedges") {
+      val li = Tables.lineitem(spark, dir).select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
+      val a = li.select(col("ok"), col("l_partkey").as("src"))
+      val b = li.select(col("ok"), col("l_partkey").as("dst"))
+      a.join(b, "ok")
+        .where(col("src") =!= col("dst"))
+        .groupBy("src", "dst")
+        .agg(count(lit(1)).cast("double").as("w"))
+    }
 
   /** Vertex set: every part referenced by lineitem (includes isolated
     * vertices that never co-occur with another part). (v: long) */
   def vertices(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir).select(col("l_partkey").as("v")).distinct()
+    cached(spark, dir, "verts") {
+      Tables.lineitem(spark, dir).select(col("l_partkey").as("v")).distinct()
+    }
 
   /** Out-degrees over the unweighted edge set. (v: long, outdeg: long) */
   def outDegrees(edges: DataFrame): DataFrame =

@@ -50,9 +50,10 @@ object ConnectedComponents {
     sys.env.getOrElse("SPARK_GRAFT_BCAST_MAX", "200000").toLong
 
   /** @param edges symmetric (src, dst); @return (vid: long, component: long) */
-  def run(edges: DataFrame, vertices: DataFrame, maxIters: Int = 50): DataFrame = {
+  def run(edges: DataFrame, vertices: DataFrame, maxIters: Int = 50,
+          broadcastMax: Long = BroadcastMax): DataFrame = {
     val nVerts = vertices.count()
-    val bcast = nVerts < BroadcastMax
+    val bcast = nVerts < broadcastMax
     val e = (if (bcast) edges.select("src", "dst")
              else edges.select("src", "dst").repartition(col("src"))).persist()
     e.count()
