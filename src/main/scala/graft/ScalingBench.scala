@@ -46,7 +46,7 @@ object ScalingBench {
       // Graph500-style: TEPS per root over K roots, harmonic mean
       // (reference TopDownBFS.cpp:460, 512-524; MTEPS = edges/sec/1e6).
       import org.apache.spark.sql.functions._
-      val k = 8
+      val k = sys.env.getOrElse("SPARK_GRAFT_BFS_ROOTS", "8").toInt
       val deg = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("outdeg"))
       val roots = graft.operators.VectorOps.selectCandidates(deg, k, seed = 7L)
         .collect().map(_.getLong(0)).toSeq
@@ -66,7 +66,7 @@ object ScalingBench {
       // round-1 behavior for comparison: pure top-down, unconditional
       // frontier broadcast (alpha=0 disables bottom-up; huge broadcastMax
       // forces the broadcast join at every level)
-      val k = 8
+      val k = sys.env.getOrElse("SPARK_GRAFT_BFS_ROOTS", "8").toInt
       val deg = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("outdeg"))
       val roots = graft.operators.VectorOps.selectCandidates(deg, k, seed = 7L)
         .collect().map(_.getLong(0)).toSeq
@@ -95,8 +95,10 @@ object ScalingBench {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"metric":"sssp_sec","value":$sec%.2f,"unit":"sec","reached":$n,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
     } else if (mode == "cc") {
-      val bmax = sys.env.getOrElse("SPARK_GRAFT_CC_BCAST", "5000000").toLong
-      graft.kernels.ConnectedComponents.run(edges, verts, broadcastMax = bmax).count() // warmup
+      val bmax = sys.env.getOrElse("SPARK_GRAFT_CC_BCAST", "1000000").toLong
+      // JIT/shuffle warmup only — two capped iterations, not a full run
+      graft.kernels.ConnectedComponents.run(edges, verts, maxIters = 2,
+        broadcastMax = bmax).count()
       val t0 = System.nanoTime()
       graft.kernels.ConnectedComponents.run(edges, verts, broadcastMax = bmax).count()
       val sec = (System.nanoTime() - t0) / 1e9

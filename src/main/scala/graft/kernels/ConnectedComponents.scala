@@ -41,8 +41,11 @@ import graft.linalg.{Select2ndMin, SpMV}
 object ConnectedComponents {
 
   /** Vector sizes below this use a broadcast SpMV join (the persisted edge
-    * table is never re-shuffled — CombBLAS's Allgatherv analog). */
-  val BroadcastMax = 5000000L
+    * table is never re-shuffled — CombBLAS's Allgatherv analog). Measured
+    * crossover (BENCH.md round 2): broadcasting the label vector wins up to
+    * ~1M connected vertices; past that the per-iteration driver collect is
+    * the Amdahl bottleneck and the pre-partitioned shuffle join scales. */
+  val BroadcastMax = 1000000L
 
   /** Broadcast ceiling for the per-iteration small tables (hooks/labelMap),
     * keyed by live-label count. */
@@ -52,12 +55,21 @@ object ConnectedComponents {
   /** @param edges symmetric (src, dst); @return (vid: long, component: long) */
   def run(edges: DataFrame, vertices: DataFrame, maxIters: Int = 50,
           broadcastMax: Long = BroadcastMax): DataFrame = {
-    val nVerts = vertices.count()
+    val e = edges.select("src", "dst")
+    // Isolated vertices are their own component by construction and can
+    // never change label — iterating over them only pads every per-round
+    // table AND keeps the live-label count pinned above the broadcast
+    // ceiling (on RMAT/web graphs a third of the id space is isolated, so
+    // without this the hooks/label-map tables never become broadcastable).
+    val connected = vertices
+      .join(e.select(col("src").as("v")), Seq("v"), "left_semi")
+      .localCheckpoint()
+    val isolated = vertices.join(connected, Seq("v"), "left_anti")
+    val nVerts = connected.count()
     val bcast = nVerts < broadcastMax
-    val e = (if (bcast) edges.select("src", "dst")
-             else edges.select("src", "dst").repartition(col("src"))).persist()
-    e.count()
-    var f = vertices.select(col("v"), col("v").as("label")).localCheckpoint()
+    val eP = (if (bcast) e else e.repartition(col("src"))).persist()
+    eP.count()
+    var f = connected.select(col("v"), col("v").as("label")).localCheckpoint()
     // Sum as DECIMAL(38) so 10^12 × 10^12-scale ids can't overflow.
     def scan(df: DataFrame): (java.math.BigDecimal, Long) = {
       val r = df.agg(sum(col("label").cast("decimal(38,0)")),
@@ -73,7 +85,7 @@ object ConnectedComponents {
       def small(df: DataFrame): DataFrame =
         if (labelCount < SmallMax) broadcast(df) else df
       // 1. neighbor-min of current labels
-      val mngp = SpMV(e, f.select(col("v"), col("label").as("xv")), Select2ndMin,
+      val mngp = SpMV(eP, f.select(col("v"), col("label").as("xv")), Select2ndMin,
           broadcastX = bcast)
         .select(col("v"), col("yv").as("mngp"))
       val fm = f.join(mngp, Seq("v"), "left")
@@ -84,11 +96,15 @@ object ConnectedComponents {
           least(col("label"),
             coalesce(col("mngp"), col("label")),
             coalesce(col("cand"), col("label"))).as("label"))
-      // 3. shortcut against the label-restricted map (small after round 1)
-      val labels = hooked.select(col("label")).distinct()
-      val labelMap = hooked.join(small(labels.select(col("label").as("v"))),
+      // 3. shortcut against the label-restricted map (small after round 1).
+      // Post-hook label values are least(label, mngp, cand) — every one a
+      // PRE-hook label of some vertex — so the map's domain is exactly
+      // hooks' key set, already computed: no extra n-row distinct needed.
+      val labelMap = hooked.join(small(hooks.select(col("label").as("v"))),
           Seq("v"), "left_semi")
         .select(col("v").as("pv"), col("label").as("glabel"))
+      // (A second pointer-jump per round was tried and measured SLOWER at
+      // scale-22 — the extra materialization outweighs the saved rounds.)
       val next = hooked.join(small(labelMap), col("label") === col("pv"), "left")
         .select(col("v"), coalesce(col("glabel"), col("label")).as("label"))
         .localCheckpoint()
@@ -99,7 +115,8 @@ object ConnectedComponents {
       f.unpersist(false)
       f = next
     }
-    e.unpersist(false)
-    f.select(col("v").as("vid"), col("label").as("component"))
+    eP.unpersist(false)
+    f.unionByName(isolated.select(col("v"), col("v").as("label")))
+      .select(col("v").as("vid"), col("label").as("component"))
   }
 }
