@@ -102,6 +102,8 @@ object SparkEntry {
       text.TextOps.langId(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
       text.TextOps.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
+    "text_bpe" -> ((s, dir) =>
+      text.TextOps.bpeTokens(Tables.documents(s, dir)).orderBy("doc_id")),
     "dedup_exact" -> ((s, dir) =>
       dedup.Dedup.exact(Tables.documents(s, dir)).orderBy("fp")),
     "dedup_minhash" -> ((s, dir) =>
@@ -182,6 +184,7 @@ object SparkEntry {
     "text_quality" -> TextOracles.textQualitySql,
     "text_langid" -> TextOracles.textLangIdSql,
     "text_fingerprint" -> TextOracles.fingerprintSql,
+    "text_bpe" -> TextOracles.bpeTokensSql,
     "dedup_exact" -> TextOracles.dedupExactSql,
     "dedup_minhash" -> TextOracles.minhashSql,
     "dedup_lsh_pairs" -> TextOracles.lshPairsSql,

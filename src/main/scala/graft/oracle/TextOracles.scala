@@ -36,6 +36,12 @@ object TextOracles {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  def bpeTokensSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+      |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def fingerprintSql: String =
     "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
 

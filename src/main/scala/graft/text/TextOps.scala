@@ -57,6 +57,21 @@ object TextOps {
         .otherwise("other").as("predicted_lang"))
   }
 
+  /** BPE-ish subword-proxy token count: alphabetic runs, single digits,
+    * and individual punctuation marks — the cheap pre-tokenizer shape used
+    * for token-budget estimation before a real BPE pass. The character
+    * classes are spelled with explicit ranges (no \s/\w shorthands) so the
+    * Java and RE2 regex engines agree exactly, making the count
+    * oracle-checkable. Emitted next to the whitespace count for the
+    * tokens-per-word diagnostic. */
+  def bpeTokens(docs: DataFrame): DataFrame = {
+    val pat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("n_bpe_tokens"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"))
+  }
+
   /** Content fingerprint: md5 of the raw text (identical hex in any
     * engine); the document-identity key for exact dedup. */
   def fingerprint(docs: DataFrame): DataFrame =

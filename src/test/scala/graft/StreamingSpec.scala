@@ -58,12 +58,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == streamed)
   }
 
-  test("media: decode stub metadata + feature plumbing") {
+  test("media: real PNG/WAV/BMP header decode + feature plumbing") {
     val items = graft.media.Media.payloads(spark, 200)
     val meta = graft.media.Media.decodeMeta(items)
     assert(meta.count() == 200)
     val m = meta.collect()
-    assert(m.forall(x => x.width >= 16 && x.channels >= 1 && x.n_bytes == 76))
+    // format sniffed from magic bytes must agree with the generator's kind
+    val kinds = items.collect().map(x => x.media_id -> x.kind).toMap
+    assert(m.forall(x => x.kind == kinds(x.media_id)), "magic-byte sniff mismatch")
+    assert(m.forall(x => x.width >= 16 && x.channels >= 1 && x.n_bytes > 64))
+    // decoded fields of a known PNG: 640x480 RGBA
+    val png = graft.media.MediaItem(0L, "png", {
+      val bb = java.nio.ByteBuffer.allocate(33)
+      bb.put(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+      bb.putInt(13); bb.put("IHDR".getBytes("US-ASCII"))
+      bb.putInt(640); bb.putInt(480)
+      bb.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      bb.putInt(0)
+      java.util.Arrays.copyOf(bb.array(), 33 + 11) // pad past min length
+    })
+    val pm = graft.media.Media.decodeOne(png)
+    assert(pm.kind == "png" && pm.width == 640 && pm.height == 480 && pm.channels == 4)
     val feats = graft.media.Media.features(items, 16).collect()
     assert(feats.length == 200)
     assert(feats.forall(_.getSeq[Float](1).length == 16))
