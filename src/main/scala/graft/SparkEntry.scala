@@ -11,6 +11,16 @@ import graft.oracle.{GraphOracles, OpOracles, TextOracles}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
+  /** Number of synthesized pages behind the `ingest_linkgraph` gate query —
+    * shared by the query and the oracle-input dump in [[Verify]]. */
+  val IngestPages = 2000L
+
+  /** Side-channel directory where [[Verify]] dumps oracle inputs that are
+    * not part of the driver's sfDir tables (the synthesized pages table).
+    * Verify sets this to `<outDir>/aux` before rendering [[oracleSql]], so
+    * the SQL the driver executes carries the correct absolute path. */
+  @volatile var auxDir: String = "/tmp/graft_aux"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -109,7 +119,8 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       dedup.Dedup.minhash(Tables.documents(s, dir)).orderBy("doc_id")),
     "dedup_lsh_pairs" -> ((s, dir) =>
-      dedup.Dedup.lshCandidates(Tables.documents(s, dir)).orderBy("a", "b")),
+      dedup.Dedup.lshCandidates(Tables.documents(s, dir), bucketCap = 1000)
+        .orderBy("a", "b")),
     "dedup_jaccard" -> ((s, dir) =>
       dedup.Dedup.ngramJaccard(Tables.documents(s, dir), 3, 0.05, maxDf = 100)
         .orderBy("a", "b")),
@@ -134,12 +145,13 @@ object SparkEntry {
       streaming.EventOps.hourlyWindow(Tables.events(s, dir)).orderBy("hour", "event_type")),
     "events_sessions" -> ((s, dir) =>
       streaming.EventOps.sessionCounts(Tables.events(s, dir)).orderBy("user_id")),
-    // ---- non-SQL-expressible pipelines (driver does a rows-only check) ----
     "ingest_linkgraph" -> ((s, dir) => {
-      // pages → extract → dictionary → edges, fully deterministic
-      val built = graph.WebGraph.build(pages.PageGen.pages(s, 2000))
+      // pages → extract → dictionary → edges, fully deterministic; the
+      // DuckDB oracle re-derives the edges from the pages dump in auxDir
+      val built = graph.WebGraph.build(pages.PageGen.pages(s, IngestPages))
       built.edges.orderBy("src", "dst")
     }),
+    // ---- non-SQL-expressible pipelines (driver does a rows-only check) ----
     "media_stats" -> ((s, dir) =>
       media.Media.kindStats(media.Media.decodeMeta(media.Media.payloads(s, 500)))
         .orderBy("kind")),
@@ -187,7 +199,7 @@ object SparkEntry {
     "text_bpe" -> TextOracles.bpeTokensSql,
     "dedup_exact" -> TextOracles.dedupExactSql,
     "dedup_minhash" -> TextOracles.minhashSql,
-    "dedup_lsh_pairs" -> TextOracles.lshPairsSql,
+    "dedup_lsh_pairs" -> TextOracles.lshPairsSql(bucketCap = 1000),
     "dedup_jaccard" -> TextOracles.ngramJaccardSql(3, "0.05", maxDf = 100),
     "dedup_simhash" -> TextOracles.simhashSql,
     "ann_topk" -> TextOracles.annTopKSql(20, 5),
@@ -197,6 +209,7 @@ object SparkEntry {
     "ann_multitable" -> TextOracles.annMultiTableSql(20, 5, bits = 8,
       tables = 8, bucketCap = 50),
     "bandwidth" -> OpOracles.bandwidthSql,
+    "ingest_linkgraph" -> GraphOracles.ingestLinkGraphSql(s"$auxDir/pages"),
     "events_window" -> TextOracles.eventsWindowSql,
     "events_sessions" -> TextOracles.eventsSessionsSql(1800),
   )

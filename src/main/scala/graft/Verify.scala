@@ -15,6 +15,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Oracle side-input: the synthesized pages table behind ingest_linkgraph
+    // (url + html decoded to string), so DuckDB can independently re-derive
+    // the edge set with regexp_extract_all. Set auxDir FIRST — oracleSql
+    // renders the absolute path into the SQL.
+    SparkEntry.auxDir = s"$outDir/aux"
+    graft.pages.PageGen.pages(spark, SparkEntry.IngestPages)
+      .select(org.apache.spark.sql.functions.col("url"),
+        org.apache.spark.sql.functions.decode(
+          org.apache.spark.sql.functions.col("html"), "UTF-8").as("html"))
+      .coalesce(1).write.mode("overwrite").parquet(s"${SparkEntry.auxDir}/pages")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

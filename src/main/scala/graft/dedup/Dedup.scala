@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.TextOps
 
@@ -52,9 +53,23 @@ object Dedup {
     bands.reduce(_ union _)
   }
 
-  /** Candidate near-duplicate pairs: docs sharing any LSH bucket. */
-  def lshCandidates(docs: DataFrame, numHashes: Int = 8, k: Int = 5): DataFrame = {
+  /** Candidate near-duplicate pairs: docs sharing any LSH bucket.
+    *
+    * Scale guard: within each (band, bucket) only the first `bucketCap`
+    * doc_ids (deterministic — ordered by id) participate in the self-join,
+    * so one degenerate bucket (a boilerplate page shared by 10⁶ docs) is
+    * bounded at cap² pairs instead of going quadratic in the corpus — the
+    * same cap as [[graft.sim.Ann.multiTableTopK]]. Docs beyond the cap in a
+    * degenerate bucket are near-identical to the capped ones by LSH
+    * construction; exact dedup (or a second pass on the representatives)
+    * catches them — the standard capped-LSH contract. */
+  def lshCandidates(docs: DataFrame, numHashes: Int = 8, k: Int = 5,
+                    bucketCap: Int = 1000): DataFrame = {
+    val byBucket = Window.partitionBy("band", "bucket").orderBy("doc_id")
     val buckets = lshBuckets(minhash(docs, numHashes, k), numHashes)
+      .withColumn("rn", row_number().over(byBucket))
+      .where(col("rn") <= bucketCap)
+      .select("doc_id", "band", "bucket")
     buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -69,9 +84,12 @@ object Dedup {
     * would otherwise contribute 10¹² join rows. Jaccard is then computed
     * consistently over the df-pruned gram universe (both |A∩B| and the
     * sizes), which is the standard inverted-index contract: ubiquitous
-    * grams carry no similarity signal. */
+    * grams carry no similarity signal.
+    *
+    * The guard is ON by default (maxDf = 10000) — the unguarded quadratic
+    * path must be requested explicitly with maxDf = Long.MaxValue. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.1,
-                   maxDf: Long = Long.MaxValue): DataFrame = {
+                   maxDf: Long = 10000L): DataFrame = {
     val grams0 = docs.where(size(TextOps.tokens(col("text"))) >= n)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(TextOps.tokens(col("text"))) - n),

@@ -51,6 +51,7 @@ object BFS {
              alpha: Double = 2.0): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val cp = new graft.util.Checkpoints(spark)
     // Static operands built once: the edge table and the probe universe
     // (every vertex with at least one in-edge — symmetric edges, so src
     // covers it; isolated vertices are unreachable by construction).
@@ -58,8 +59,9 @@ object BFS {
     val universe = e.select(col("src").as("v")).distinct().persist()
     val nAll = universe.count()
 
-    var visited = Seq((root, 0L)).toDF("v", "dist").localCheckpoint()
+    var visited = cp(Seq((root, 0L)).toDF("v", "dist"))
     var frontier = visited.select("v")
+    var frontierBack: DataFrame = null
     var depth = 0
     var frontierSize = 1L
     var visitedCount = 1L
@@ -82,17 +84,23 @@ object BFS {
             .select(col("dst").as("v")).distinct()
             .join(visited.select("v"), Seq("v"), "left_anti")
         }
-      val next = nextV.withColumn("dist", lit(depth.toLong)).localCheckpoint()
+      val next = cp(nextV.withColumn("dist", lit(depth.toLong)))
       frontierSize = next.count()
       if (frontierSize > 0) {
         val prev = visited
-        visited = visited.union(next).localCheckpoint()
+        visited = cp(visited.union(next))
         visitedCount += frontierSize
-        prev.unpersist(false)
+        cp.free(prev)
+        // the previous level's frame fed nextV, which is materialized now
+        if (frontierBack ne null) cp.free(frontierBack)
+        frontierBack = next
         frontier = next.select("v")
-      }
+      } else cp.free(next)
     }
     e.unpersist(false); universe.unpersist(false)
+    // The per-level `next` frames are freed here; only the final visited
+    // frame (the result) stays materialized for the caller.
+    cp.freeAllExcept(visited)
     visited.select(col("v").as("vid"), col("dist"))
   }
 }

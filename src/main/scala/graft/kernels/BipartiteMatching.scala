@@ -26,22 +26,25 @@ object BipartiteMatching {
   /** @param edges bipartite (r, c)
     * @return matched (r, c) pairs — a valid maximal matching */
   def run(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
-    var active = edges.select("r", "c").localCheckpoint()
-    var matched = active.where(lit(false)).localCheckpoint()
+    val cp = new graft.util.Checkpoints(edges.sparkSession)
+    var active = cp(edges.select("r", "c"))
+    var matched = cp(active.where(lit(false)))
     var remaining = active.count()
     var round = 0
     while (remaining > 0 && round < maxRounds) {
       round += 1
       val proposals = active.groupBy("r").agg(min("c").as("c"))
-      val accepted = proposals.groupBy("c").agg(min("r").as("r"))
-        .select("r", "c").localCheckpoint()
-      matched = matched.unionByName(accepted).localCheckpoint()
-      active = active
+      val accepted = cp(proposals.groupBy("c").agg(min("r").as("r"))
+        .select("r", "c"))
+      val (prevM, prevA) = (matched, active)
+      matched = cp(matched.unionByName(accepted))
+      active = cp(prevA
         .join(accepted.select("r"), Seq("r"), "left_anti")
-        .join(accepted.select("c"), Seq("c"), "left_anti")
-        .localCheckpoint()
+        .join(accepted.select("c"), Seq("c"), "left_anti"))
       remaining = active.count()
+      cp.free(prevM); cp.free(prevA); cp.free(accepted)
     }
+    cp.freeAllExcept(matched)
     matched
   }
 }

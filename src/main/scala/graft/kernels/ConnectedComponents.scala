@@ -55,21 +55,21 @@ object ConnectedComponents {
   /** @param edges symmetric (src, dst); @return (vid: long, component: long) */
   def run(edges: DataFrame, vertices: DataFrame, maxIters: Int = 50,
           broadcastMax: Long = BroadcastMax): DataFrame = {
+    val cp = new graft.util.Checkpoints(edges.sparkSession)
     val e = edges.select("src", "dst")
     // Isolated vertices are their own component by construction and can
     // never change label — iterating over them only pads every per-round
     // table AND keeps the live-label count pinned above the broadcast
     // ceiling (on RMAT/web graphs a third of the id space is isolated, so
     // without this the hooks/label-map tables never become broadcastable).
-    val connected = vertices
-      .join(e.select(col("src").as("v")), Seq("v"), "left_semi")
-      .localCheckpoint()
+    val connected = cp(vertices
+      .join(e.select(col("src").as("v")), Seq("v"), "left_semi"))
     val isolated = vertices.join(connected, Seq("v"), "left_anti")
     val nVerts = connected.count()
     val bcast = nVerts < broadcastMax
     val eP = (if (bcast) e else e.repartition(col("src"))).persist()
     eP.count()
-    var f = connected.select(col("v"), col("v").as("label")).localCheckpoint()
+    var f = cp(connected.select(col("v"), col("v").as("label")))
     // Sum as DECIMAL(38) so 10^12 × 10^12-scale ids can't overflow.
     def scan(df: DataFrame): (java.math.BigDecimal, Long) = {
       val r = df.agg(sum(col("label").cast("decimal(38,0)")),
@@ -105,17 +105,21 @@ object ConnectedComponents {
         .select(col("v").as("pv"), col("label").as("glabel"))
       // (A second pointer-jump per round was tried and measured SLOWER at
       // scale-22 — the extra materialization outweighs the saved rounds.)
-      val next = hooked.join(small(labelMap), col("label") === col("pv"), "left")
-        .select(col("v"), coalesce(col("glabel"), col("label")).as("label"))
-        .localCheckpoint()
+      val next = cp(hooked.join(small(labelMap), col("label") === col("pv"), "left")
+        .select(col("v"), coalesce(col("glabel"), col("label")).as("label")))
       val (s, lc) = scan(next)
       changed = s.compareTo(prevSum) != 0
       prevSum = s
       labelCount = lc
-      f.unpersist(false)
+      cp.free(f)
       f = next
     }
     eP.unpersist(false)
+    // `isolated` is an anti-join against `connected`, so the final result
+    // still reads the connected frame — keep it and the final f; free the
+    // superseded per-round frames (already freed in-loop; this catches the
+    // initial f when the loop ran zero rounds).
+    cp.freeAllExcept(f, connected)
     f.unionByName(isolated.select(col("v"), col("v").as("label")))
       .select(col("v").as("vid"), col("label").as("component"))
   }

@@ -30,11 +30,12 @@ object LabelPropagation {
 
   /** @param edges symmetric (src, dst); @return (vid: long, label: long) */
   def run(edges: DataFrame, vertices: DataFrame, rounds: Int = 5): DataFrame = {
+    val cp = new graft.util.Checkpoints(edges.sparkSession)
     val bcast = vertices.count() < BroadcastMax
     val e = (if (bcast) edges.select("src", "dst")
              else edges.select("src", "dst").repartition(col("src"))).persist()
     e.count()
-    var labels = vertices.select(col("v"), col("v").as("label")).localCheckpoint()
+    var labels = cp(vertices.select(col("v"), col("v").as("label")))
     for (_ <- 1 to rounds) {
       val lbl = labels.withColumnRenamed("v", "src")
       val counts = e.join(if (bcast) broadcast(lbl) else lbl.hint("shuffle_hash"), Seq("src"))
@@ -46,12 +47,12 @@ object LabelPropagation {
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("v"), (-col("m.nl")).as("newLabel"))
       val prev = labels
-      labels = labels.join(best, Seq("v"), "left")
-        .select(col("v"), coalesce(col("newLabel"), col("label")).as("label"))
-        .localCheckpoint()
-      prev.unpersist(false)
+      labels = cp(labels.join(best, Seq("v"), "left")
+        .select(col("v"), coalesce(col("newLabel"), col("label")).as("label")))
+      cp.free(prev)
     }
     e.unpersist(false)
+    cp.freeAllExcept(labels)
     labels.select(col("v").as("vid"), col("label"))
   }
 }

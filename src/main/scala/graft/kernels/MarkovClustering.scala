@@ -42,11 +42,11 @@ object MarkovClustering {
           recoverPct: Double = 0.5): DataFrame = {
 
     // AdjustLoops: ensure a self-loop per vertex (reference MCL.cpp:463)
+    val cp = new graft.util.Checkpoints(edges.sparkSession)
     val selfLoops = vertices.select(col("v").as("src"), col("v").as("dst"), lit(1.0).as("w"))
-    var a = normalizeColumns(
+    var a = cp(normalizeColumns(
       edges.select("src", "dst", "w").unionByName(selfLoops)
-        .groupBy("src", "dst").agg(sum("w").as("w")))
-      .localCheckpoint()
+        .groupBy("src", "dst").agg(sum("w").as("w"))))
 
     var chaos = Double.MaxValue
     var it = 0
@@ -56,16 +56,23 @@ object MarkovClustering {
       val inflated = expanded.select(col("src"), col("dst"),
         pow(col("w"), inflation).as("w"))
       val pruned = pruneRecoverySelect(normalizeColumns(inflated),
-        pruneThreshold, selectTop, recoverNum, recoverPct)
-      a = normalizeColumns(pruned).localCheckpoint()
+        pruneThreshold, selectTop, recoverNum, recoverPct, cp)
+      val prev = a
+      a = cp(normalizeColumns(pruned))
       chaos = chaosOf(a)
+      cp.free(prev)
+      cp.freeAllExcept(a) // drops the round's `ranked` frame
     }
     // Interpret: clusters = connected components of the attractor pattern
     val pattern = a.where(col("w") > lit(1e-9)).select("src", "dst")
     val sym = pattern.unionByName(
       pattern.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-    ConnectedComponents.run(sym, vertices)
+    val clusters = ConnectedComponents.run(sym, vertices)
       .select(col("vid"), col("component").as("cluster"))
+    // CC materialized everything it needs from `a` during the call above —
+    // the returned plan reads only CC-internal checkpoints.
+    cp.freeAll()
+    clusters
   }
 
   /** MakeColStochastic (reference MCL.cpp:389-395). */
@@ -100,10 +107,12 @@ object MarkovClustering {
     * selection itself re-starves a column, which the value-threshold
     * select here cannot do below selectNum. */
   def pruneRecoverySelect(m: DataFrame, threshold: Double, selectNum: Int,
-                          recoverNum: Int, recoverPct: Double): DataFrame = {
+                          recoverNum: Int, recoverPct: Double,
+                          cp: graft.util.Checkpoints = null): DataFrame = {
     if (recoverNum <= 0) return select(m, threshold, selectNum)
     val byCol = Window.partitionBy("dst").orderBy(col("w").desc, col("src").asc)
-    val ranked = m.withColumn("rn", row_number().over(byCol)).localCheckpoint()
+    val ranked0 = m.withColumn("rn", row_number().over(byCol))
+    val ranked = if (cp != null) cp(ranked0) else ranked0.localCheckpoint()
     val stats = ranked.groupBy("dst").agg(
       count(lit(1)).as("allNnz"),
       sum(when(col("w") > threshold, 1L).otherwise(0L)).as("keptNnz"),

@@ -23,9 +23,10 @@ object MaximalIndependentSet {
   def run(edges: DataFrame, vertices: DataFrame, seed: Long = 42L,
           maxRounds: Int = 60): DataFrame = {
     val spark = edges.sparkSession
-    var active = vertices.select(col("v")).localCheckpoint()
-    var activeEdges = edges.select("src", "dst").localCheckpoint()
-    var mis = active.where(lit(false)).localCheckpoint()
+    val cp = new graft.util.Checkpoints(spark)
+    var active = cp(vertices.select(col("v")))
+    var activeEdges = cp(edges.select("src", "dst"))
+    var mis = cp(active.where(lit(false)))
     var remaining = active.count()
     var round = 0
     while (remaining > 0 && round < maxRounds) {
@@ -37,23 +38,22 @@ object MaximalIndependentSet {
         .join(prio.select(col("v").as("src"), col("pr")), Seq("src"))
         .groupBy(col("dst").as("v"))
         .agg(min(col("pr")).as("nbrMin"))
-      val winners = prio.join(nbrMin, Seq("v"), "left")
+      val winners = cp(prio.join(nbrMin, Seq("v"), "left")
         .where(col("nbrMin").isNull || col("pr") < col("nbrMin"))
-        .select("v")
-        .localCheckpoint()
-      val removed = winners.unionByName(
+        .select("v"))
+      val removed = cp(winners.unionByName(
           activeEdges.join(winners.withColumnRenamed("v", "src"), Seq("src"))
             .select(col("dst").as("v")))
-        .distinct()
-        .localCheckpoint()
-      mis = mis.unionByName(winners).localCheckpoint()
-      active = active.join(removed, Seq("v"), "left_anti").localCheckpoint()
-      activeEdges = activeEdges
+        .distinct())
+      val (prevM, prevA, prevE) = (mis, active, activeEdges)
+      mis = cp(mis.unionByName(winners))
+      active = cp(prevA.join(removed, Seq("v"), "left_anti"))
+      activeEdges = cp(prevE
         .join(removed.withColumnRenamed("v", "src"), Seq("src"), "left_anti")
         .join(removed.withColumnRenamed("v", "dst"), Seq("dst"), "left_anti")
-        .select("src", "dst")
-        .localCheckpoint()
+        .select("src", "dst"))
       remaining = active.count()
+      Seq(prevM, prevA, prevE, winners, removed).foreach(cp.free)
     }
     // Contract guard: if the round cap fired with vertices still active the
     // set is independent but NOT maximal — surface it instead of silently
@@ -63,6 +63,7 @@ object MaximalIndependentSet {
       throw new IllegalStateException(
         s"MIS round cap $maxRounds hit with $remaining vertices still active; " +
           "result would not be maximal — raise maxRounds")
+    cp.freeAllExcept(mis)
     mis.select(col("v"))
   }
 }

@@ -134,35 +134,39 @@ object PageRank {
               d: Double = 0.85,
               broadcastMax: Long = BroadcastMax): (Double, Double) = {
     val t0 = System.nanoTime()
+    val cp = new graft.util.Checkpoints(edges.sparkSession)
     val ctx = prepare(edges, vertices, broadcastMax)
-    var pr = ctx.verts.select(col("v"), lit(1.0 / ctx.n).as("r")).localCheckpoint()
+    var pr = cp(ctx.verts.select(col("v"), lit(1.0 / ctx.n).as("r")))
     var sink = initSink(ctx)
     val t1 = System.nanoTime()
     for (_ <- 1 to iters) {
       val prev = pr
-      pr = step(ctx, pr, d, sink).localCheckpoint()
+      pr = cp(step(ctx, pr, d, sink))
       sink = sink.map(s => nextSink(ctx, s, d))
-      prev.unpersist(false)
+      cp.free(prev)
     }
     pr.count()
     val t2 = System.nanoTime()
     release(ctx)
+    cp.freeAllExcept(pr)
     ((t1 - t0) / 1e9, (t2 - t1) / 1e9 / iters)
   }
 
   /** Unrounded ranks (v: long, r: double). */
   def runExact(edges: DataFrame, vertices: DataFrame, iters: Int,
                d: Double, broadcastMax: Long = BroadcastMax): DataFrame = {
+    val cp = new graft.util.Checkpoints(edges.sparkSession)
     val ctx = prepare(edges, vertices, broadcastMax)
-    var pr = ctx.verts.select(col("v"), lit(1.0 / ctx.n).as("r")).localCheckpoint()
+    var pr = cp(ctx.verts.select(col("v"), lit(1.0 / ctx.n).as("r")))
     var sink = initSink(ctx)
     for (_ <- 1 to iters) {
       val prev = pr
-      pr = step(ctx, pr, d, sink).localCheckpoint()
+      pr = cp(step(ctx, pr, d, sink))
       sink = sink.map(s => nextSink(ctx, s, d))
-      prev.unpersist(false)
+      cp.free(prev)
     }
     release(ctx)
+    cp.freeAllExcept(pr)
     pr
   }
 
@@ -174,13 +178,14 @@ object PageRank {
                 iters: Int = 10, d: Double = 0.85,
                 stopAfter: Option[Int] = None): DataFrame = {
     val spark = edges.sparkSession
+    val cp = new graft.util.Checkpoints(spark)
     val ctx = prepare(edges, vertices)
     val resumed = store.latest()
     var iter = resumed.map(_.iteration).getOrElse(0)
     var pr = resumed match {
-      case Some(s) => store.load(spark, s).localCheckpoint()
+      case Some(s) => cp(store.load(spark, s))
       case None =>
-        val init = ctx.verts.select(col("v"), lit(1.0 / ctx.n).as("r")).localCheckpoint()
+        val init = cp(ctx.verts.select(col("v"), lit(1.0 / ctx.n).as("r")))
         store.commit(init, 0, ctx.nnz, 0L)
         init
     }
@@ -194,13 +199,14 @@ object PageRank {
     while (iter < limit) {
       iter += 1
       val prev = pr
-      pr = step(ctx, pr, d, sink).localCheckpoint()
+      pr = cp(step(ctx, pr, d, sink))
       sink = sink.map(s => nextSink(ctx, s, d))
       // 2 flops per stored edge per SpMV iteration (multiply + add).
       store.commit(pr, iter, ctx.nnz, 2L * ctx.nnz)
-      prev.unpersist(false)
+      cp.free(prev)
     }
     release(ctx)
+    cp.freeAllExcept(pr)
     pr
   }
 }

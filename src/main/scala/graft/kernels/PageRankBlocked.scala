@@ -29,8 +29,9 @@ object PageRankBlocked {
     val blocks = BlockMatrix.fromEdges(edgesNorm, blockSize).persist()
     blocks.count()
 
+    val cp = new graft.util.Checkpoints(spark)
     val verts = vertices.persist()
-    var pr = verts.select(col("v"), lit(1.0 / n).as("xv")).localCheckpoint()
+    var pr = cp(verts.select(col("v"), lit(1.0 / n).as("xv")))
 
     for (_ <- 1 to iters) {
       val xseg = BlockMatrix.toSegments(pr, blockSize, nb)
@@ -39,15 +40,15 @@ object PageRankBlocked {
       val sums = pr.agg(sum(col("xv")).as("sx"))
         .crossJoin(yv.agg(coalesce(sum(col("yv")), lit(0.0)).as("sy")))
       val prev = pr
-      pr = verts.join(yv, Seq("v"), "left")
+      pr = cp(verts.join(yv, Seq("v"), "left")
         .crossJoin(broadcast(sums))
         .select(col("v"),
           (lit((1 - d) / n) +
-            lit(d) * (coalesce(col("yv"), lit(0.0)) + (col("sx") - col("sy")) / n)).as("xv"))
-        .localCheckpoint()
-      prev.unpersist(false)
+            lit(d) * (coalesce(col("yv"), lit(0.0)) + (col("sx") - col("sy")) / n)).as("xv")))
+      cp.free(prev)
     }
-    blocks.unpersist(false)
+    blocks.unpersist(false); verts.unpersist(false)
+    cp.freeAllExcept(pr)
     pr.select(col("v").as("vid"), col("xv").as("pr"))
   }
 }

@@ -36,9 +36,10 @@ object SSSP {
           broadcastMax: Long = BFS.BroadcastMax): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val cp = new graft.util.Checkpoints(spark)
     val e = edges.select("src", "dst", "w").persist()
     e.count()
-    var dist = Seq((root, 0.0)).toDF("v", "d").localCheckpoint()
+    var dist = cp(Seq((root, 0.0)).toDF("v", "d"))
     var frontier = dist
     var frontierSize = 1L
     var it = 0
@@ -50,21 +51,20 @@ object SSSP {
       val relaxed = e.join(fx, "src")
         .groupBy(col("dst").as("v"))
         .agg(min(col("d") + col("w")).as("nd"))
-      val improved = relaxed.join(dist.withColumnRenamed("d", "od"), Seq("v"), "left")
+      val improved = cp(relaxed.join(dist.withColumnRenamed("d", "od"), Seq("v"), "left")
         .where(col("od").isNull || col("nd") < col("od"))
-        .select(col("v"), col("nd").as("d"))
-        .localCheckpoint()
+        .select(col("v"), col("nd").as("d")))
       frontierSize = improved.count()
       if (frontierSize > 0) {
         val prev = dist
-        dist = dist.join(improved.select("v"), Seq("v"), "left_anti")
-          .unionByName(improved)
-          .localCheckpoint()
-        prev.unpersist(false); frontier.unpersist(false)
+        dist = cp(dist.join(improved.select("v"), Seq("v"), "left_anti")
+          .unionByName(improved))
+        cp.free(prev); cp.free(frontier)
         frontier = improved
-      }
+      } else cp.free(improved)
     }
     e.unpersist(false)
+    cp.freeAllExcept(dist)
     dist.select(col("v").as("vid"), col("d").as("dist"))
   }
 }

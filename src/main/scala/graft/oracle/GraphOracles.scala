@@ -231,6 +231,34 @@ object GraphOracles {
        |FROM lvl l JOIN deg dg ON dg.v = l.v
        |ORDER BY vid""".stripMargin
 
+  /** Independent re-derivation of the pages→extract→dictionary→edges
+    * ingest pipeline ([[graft.graph.WebGraph.build]]): DuckDB re-extracts
+    * the anchors with regexp_extract_all over the html dumped by Verify
+    * (same regex as graft.pages.Extract:28), rebuilds the rank-based url
+    * dictionary (same rule as [[graft.graph.Dictionary.encode]] /
+    * OpOracles.dictPartsSql), and re-derives the deduped loop-free edge
+    * set. @param pagesDir directory of the pages parquet dump (url,
+    * html-as-string) written by graft.Verify. */
+  def ingestLinkGraphSql(pagesDir: String): String =
+    s"""WITH pages AS MATERIALIZED (
+       |  SELECT url, html FROM read_parquet('$pagesDir/*.parquet')),
+       |links AS MATERIALIZED (
+       |  SELECT url AS srcUrl,
+       |         unnest(regexp_extract_all(html, '<a href="([^"]+)"', 1)) AS dstUrl
+       |  FROM pages),
+       |allurls AS MATERIALIZED (
+       |  SELECT DISTINCT url FROM (
+       |    SELECT url FROM pages UNION ALL SELECT dstUrl AS url FROM links) u),
+       |dict AS MATERIALIZED (
+       |  SELECT url, CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS vid
+       |  FROM allurls)
+       |SELECT DISTINCT s.vid AS src, d.vid AS dst
+       |FROM links l
+       |JOIN dict s ON s.url = l.srcUrl
+       |JOIN dict d ON d.url = l.dstUrl
+       |WHERE s.vid <> d.vid
+       |ORDER BY src, dst""".stripMargin
+
   def bfsSql(maxDepth: Int = 10): String =
     s"""WITH RECURSIVE $edgesCte,
        |bfs(v, d) AS (

@@ -61,13 +61,18 @@ object TextOracles {
   def minhashSql: String =
     s"WITH $sigCte\nSELECT * FROM sig ORDER BY doc_id"
 
-  def lshPairsSql: String = {
+  def lshPairsSql(bucketCap: Int = 1000): String = {
     val bands = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, md5(sig${2 * b}||sig${2 * b + 1}) AS bucket FROM sig")
       .mkString("\n  UNION ALL ")
     s"""WITH $sigCte,
+       |b0 AS MATERIALIZED (
+       |  $bands),
        |b AS MATERIALIZED (
-       |  $bands)
+       |  SELECT doc_id, band, bucket FROM (
+       |    SELECT doc_id, band, bucket,
+       |           row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+       |    FROM b0) WHERE rn <= $bucketCap)
        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
        |ORDER BY a, b""".stripMargin

@@ -45,6 +45,33 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(capped.length <= 5 * 4)
   }
 
+  test("dedup-LSH bucket cap bounds a degenerate bucket") {
+    val s = spark
+    import s.implicits._
+    // 50 identical docs: every band hashes them into ONE bucket ->
+    // uncapped candidate join is quadratic (C(50,2) = 1225 pairs)
+    val docs = (0L until 50L).map(i => (i, "identical boilerplate body text"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.lshCandidates(docs, bucketCap = 1000).count()
+    assert(uncapped == 1225L, s"expected 1225 uncapped pairs, got $uncapped")
+    // cap=4: only the 4 smallest doc_ids participate per bucket
+    val capped = Dedup.lshCandidates(docs, bucketCap = 4).collect()
+    assert(capped.length == 6, s"expected C(4,2)=6 capped pairs, got ${capped.length}")
+    assert(capped.forall(r => r.getLong(0) < 4 && r.getLong(1) < 4),
+      "cap keeps the id-ordered prefix of each bucket")
+  }
+
+  test("LSH cap above corpus size is a no-op") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 30L).map { i =>
+      (i, if (i % 3 == 0) "shared near duplicate content body here" else s"unique document $i with its own words $i")
+    }.toDF("doc_id", "text")
+    def pairs(cap: Int) = Dedup.lshCandidates(docs, bucketCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(1000) == pairs(30))
+  }
+
   test("uncapped multi-table ANN on a single bucket equals exact top-k") {
     val emb = onePosBucket(40)
     def rows(df: org.apache.spark.sql.DataFrame) =
