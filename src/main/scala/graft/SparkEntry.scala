@@ -46,6 +46,11 @@ object SparkEntry {
       val root = verts.agg(min(col("v"))).first().getLong(0)
       BFS.levels(LinkGraph.edges(s, dir), root).orderBy("vid")
     }),
+    "bfs_parents" -> ((s, dir) => {
+      val verts = LinkGraph.vertices(s, dir)
+      val root = verts.agg(min(col("v"))).first().getLong(0)
+      BFS.parents(LinkGraph.edges(s, dir), root).orderBy("vid")
+    }),
     "sssp" -> ((s, dir) => {
       val root = LinkGraph.vertices(s, dir).agg(min(col("v"))).first().getLong(0)
       SSSP.run(LinkGraph.weightedEdges(s, dir), root).orderBy("vid")
@@ -55,6 +60,13 @@ object SparkEntry {
         .select(col("l_orderkey").cast("long").as("r"),
           col("l_partkey").cast("long").as("c")).distinct()
       BipartiteMatching.run(be).orderBy("r")
+    }),
+    "auction_match" -> ((s, dir) => {
+      val be = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").cast("long").as("r"),
+          col("l_partkey").cast("long").as("c"),
+          col("l_quantity").cast("long").as("w"))
+      AuctionMatching.run(be).orderBy("r")
     }),
     "rcm_order" -> ((s, dir) =>
       RCM.order(LinkGraph.edges(s, dir)).orderBy("vid")),
@@ -177,8 +189,10 @@ object SparkEntry {
     "labelprop" -> GraphOracles.labelPropSql(),
     "tricnt" -> GraphOracles.trianglesSql,
     "bfs_levels" -> GraphOracles.bfsSql(),
+    "bfs_parents" -> GraphOracles.bfsParentsSql(),
     "sssp" -> GraphOracles.ssspSql(),
     "bipartite_match" -> GraphOracles.matchingSql(),
+    "auction_match" -> GraphOracles.auctionSql(),
     "rcm_order" -> GraphOracles.rcmSql(),
     "mis" -> GraphOracles.misSql(),
     "bc_batch" -> GraphOracles.bcSql(),

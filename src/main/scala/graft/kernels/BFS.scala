@@ -103,4 +103,103 @@ object BFS {
     cp.freeAllExcept(visited)
     visited.select(col("v").as("vid"), col("dist"))
   }
+
+  /** BFS parent tree from `root` — the reference's BFS contract
+    * (TopDownBFS.cpp:448-466 returns parents and validates the tree; the
+    * Graph500 spec requires the parent array, not levels).
+    *
+    * parent(v) = MIN neighbor of v in the previous fringe (pinned
+    * tiebreak — the reference's MPI race picks an arbitrary valid parent;
+    * min is one of those, engine-replayable). parent(root) = root.
+    * Same direction-optimizing loop as [[levels]]; the only difference is
+    * the fringe aggregate carries min(src) instead of a distinct.
+    *
+    * @return (vid, parent, dist) for reached vertices */
+  def parents(edges: DataFrame, root: Long, maxDepth: Int = 10,
+              broadcastMax: Long = BroadcastMax,
+              alpha: Double = 2.0): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val cp = new graft.util.Checkpoints(spark)
+    val e = edges.select("src", "dst").persist()
+    val universe = e.select(col("src").as("v")).distinct().persist()
+    val nAll = universe.count()
+
+    var visited = cp(Seq((root, root, 0L)).toDF("v", "parent", "dist"))
+    var frontier = visited.select("v")
+    var frontierBack: DataFrame = null
+    var depth = 0
+    var frontierSize = 1L
+    var visitedCount = 1L
+    while (frontierSize > 0 && depth < maxDepth) {
+      depth += 1
+      val unvisitedCount = nAll - visitedCount
+      val candidates =
+        if (unvisitedCount <= alpha * frontierSize) {
+          // bottom-up: unvisited probe in-edges for any fringe parent
+          val unvisited = universe.join(visited.select("v"), Seq("v"), "left_anti")
+          e.join(unvisited.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+            .join(frontier.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+        } else {
+          val fsrc = frontier.withColumnRenamed("v", "src")
+          val fx = if (frontierSize < broadcastMax) broadcast(fsrc)
+                   else fsrc.hint("shuffle_hash")
+          e.join(fx, Seq("src"))
+        }
+      val next = cp(candidates
+        .groupBy(col("dst").as("v")).agg(min(col("src")).as("parent"))
+        .join(visited.select("v"), Seq("v"), "left_anti")
+        .withColumn("dist", lit(depth.toLong)))
+      frontierSize = next.count()
+      if (frontierSize > 0) {
+        val prev = visited
+        visited = cp(visited.union(next))
+        visitedCount += frontierSize
+        cp.free(prev)
+        if (frontierBack ne null) cp.free(frontierBack)
+        frontierBack = next
+        frontier = next.select("v")
+      } else cp.free(next)
+    }
+    e.unpersist(false); universe.unpersist(false)
+    cp.freeAllExcept(visited)
+    visited.select(col("v").as("vid"), col("parent"), col("dist"))
+  }
+
+  /** Graph500-style tree validation (reference TopDownBFS.cpp:448-466 and
+    * the Graph500 spec's five checks). Returns (check, violations) — all
+    * zeros for a valid tree:
+    *  1. root_ok      — parent(root) = root, dist(root) = 0
+    *  2. level_ok     — dist(v) = dist(parent(v)) + 1 for v ≠ root
+    *  3. tree_edge_ok — every (parent(v), v) is a graph edge
+    *  4. span_ok      — every graph edge between reached vertices spans
+    *                    at most one level
+    *  5. reach_ok     — no graph edge connects a reached vertex to an
+    *                    unreached one (the tree covers root's component)
+    */
+  def validateParents(edges: DataFrame, tree: DataFrame, root: Long): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val t = tree.select(col("vid"), col("parent"), col("dist")).persist()
+    val rootRows = t.where(col("vid") === root)
+    val rootBad = rootRows.where(col("parent") =!= root || col("dist") =!= 0L)
+      .count() + (if (rootRows.count() == 1L) 0L else 1L)
+    val pd = t.select(col("vid").as("parent"), col("dist").as("pdist"))
+    val levelBad = t.where(col("vid") =!= root)
+      .join(pd, Seq("parent"), "left")
+      .where(col("pdist").isNull || col("dist") =!= col("pdist") + 1L).count()
+    val treeEdgeBad = t.where(col("vid") =!= root)
+      .join(edges.select(col("src").as("parent"), col("dst").as("vid")),
+        Seq("parent", "vid"), "left_anti").count()
+    val d1 = t.select(col("vid").as("src"), col("dist").as("sd"))
+    val d2 = t.select(col("vid").as("dst"), col("dist").as("dd"))
+    val spanBad = edges.join(d1, Seq("src")).join(d2, Seq("dst"))
+      .where(abs(col("sd") - col("dd")) > 1L).count()
+    val reachBad = edges.join(d1, Seq("src"))
+      .join(t.select(col("vid").as("dst")), Seq("dst"), "left_anti").count()
+    t.unpersist(false)
+    Seq(("root_ok", rootBad), ("level_ok", levelBad),
+      ("tree_edge_ok", treeEdgeBad), ("span_ok", spanBad),
+      ("reach_ok", reachBad)).toDF("check", "violations")
+  }
 }

@@ -212,11 +212,23 @@ object GraphOracles {
   }
 
   /** Cuthill-McKee level-set ordering, reversed: BFS levels from the
-    * (degree, id)-minimum root, ranked by (level, degree, id). */
+    * George-Liu pseudo-peripheral root (double sweep — BFS from the
+    * (degree, id)-min vertex, then restart from the farthest vertex with
+    * (dist desc, deg asc, id asc) pinned tiebreaks), ranked by
+    * (level, degree, id). Mirrors [[graft.kernels.RCM]] exactly. */
   def rcmSql(maxDepth: Int = 50): String =
     s"""WITH RECURSIVE $edgesCte,
        |deg AS MATERIALIZED (SELECT src AS v, count(*) AS deg FROM edges GROUP BY src),
-       |rt AS MATERIALIZED (SELECT v FROM deg ORDER BY deg ASC, v ASC LIMIT 1),
+       |rt0 AS MATERIALIZED (SELECT v FROM deg ORDER BY deg ASC, v ASC LIMIT 1),
+       |bfs0(v, d) AS (
+       |  SELECT CAST((SELECT v FROM rt0) AS BIGINT), 0
+       |  UNION
+       |  SELECT e.dst, b.d + 1 FROM bfs0 b JOIN edges e ON e.src = b.v
+       |  WHERE b.d < $maxDepth),
+       |lvl0 AS MATERIALIZED (SELECT v, min(d) AS dist FROM bfs0 GROUP BY v),
+       |rt AS MATERIALIZED (
+       |  SELECT l.v FROM lvl0 l JOIN deg dg ON dg.v = l.v
+       |  ORDER BY l.dist DESC, dg.deg ASC, l.v ASC LIMIT 1),
        |bfs(v, d) AS (
        |  SELECT CAST((SELECT v FROM rt) AS BIGINT), 0
        |  UNION
@@ -230,6 +242,47 @@ object GraphOracles {
        |         AS BIGINT) AS rcm
        |FROM lvl l JOIN deg dg ON dg.v = l.v
        |ORDER BY vid""".stripMargin
+
+  /** Unrolled synchronous auction rounds mirroring
+    * [[graft.kernels.AuctionMatching]] term-for-term: integral prices,
+    * ε = 1, (value desc, c asc) bid tiebreak, (bid desc, r asc) accept
+    * tiebreak, second-best fallback best − big. */
+  def auctionSql(rounds: Int = 20, big: Long = 1000000L): String = {
+    val head =
+      s"""WITH be AS MATERIALIZED (
+         |  SELECT r, c, max(w) AS w FROM (
+         |    SELECT CAST(l_orderkey AS BIGINT) AS r, CAST(l_partkey AS BIGINT) AS c,
+         |           CAST(l_quantity AS BIGINT) AS w FROM lineitem) t
+         |  GROUP BY r, c),
+         |p0 AS MATERIALIZED (SELECT DISTINCT c, CAST(0 AS BIGINT) AS p FROM be),
+         |a0 AS (SELECT CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS c WHERE 1=0)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      val (ap, pp) = (s"a${i - 1}", s"p${i - 1}")
+      s"""rk$i AS MATERIALIZED (
+         |  SELECT u.r, u.c, p.p, u.w - p.p AS v,
+         |         row_number() OVER (PARTITION BY u.r
+         |                            ORDER BY u.w - p.p DESC, u.c ASC) AS rn
+         |  FROM be u JOIN $pp p ON p.c = u.c
+         |  WHERE u.r NOT IN (SELECT r FROM $ap)),
+         |bid$i AS MATERIALIZED (
+         |  SELECT b.r, b.c, b.p + (b.v - COALESCE(s.v, b.v - $big)) + 1 AS bid
+         |  FROM (SELECT * FROM rk$i WHERE rn = 1) b
+         |  LEFT JOIN (SELECT r, v FROM rk$i WHERE rn = 2) s ON s.r = b.r),
+         |win$i AS MATERIALIZED (
+         |  SELECT r, c, bid FROM (
+         |    SELECT r, c, bid,
+         |           row_number() OVER (PARTITION BY c ORDER BY bid DESC, r ASC) AS wrn
+         |    FROM bid$i) t WHERE wrn = 1),
+         |a$i AS MATERIALIZED (
+         |  SELECT r, c FROM $ap WHERE c NOT IN (SELECT c FROM win$i)
+         |  UNION ALL SELECT r, c FROM win$i),
+         |p$i AS MATERIALIZED (
+         |  SELECT c, p FROM $pp WHERE c NOT IN (SELECT c FROM win$i)
+         |  UNION ALL SELECT c, bid AS p FROM win$i)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT a.r, a.c, be.w FROM a$rounds a JOIN be ON be.r = a.r AND be.c = a.c ORDER BY a.r"
+  }
 
   /** Independent re-derivation of the pages→extract→dictionary→edges
     * ingest pipeline ([[graft.graph.WebGraph.build]]): DuckDB re-extracts
@@ -258,6 +311,36 @@ object GraphOracles {
        |JOIN dict d ON d.url = l.dstUrl
        |WHERE s.vid <> d.vid
        |ORDER BY src, dst""".stripMargin
+
+  /** Unrolled level-synchronous BFS carrying min-parent per level —
+    * mirrors [[graft.kernels.BFS.parents]] exactly (parent(v) = min
+    * neighbor in the previous fringe; parent(root) = root). Levels ≥ the
+    * graph's eccentricity from the root are no-ops, so any `levels` ≥ the
+    * kernel's maxDepth compares equal. */
+  def bfsParentsSql(levels: Int = 10): String = {
+    val head =
+      s"""WITH $edgesCte,
+         |f0 AS MATERIALIZED (
+         |  SELECT CAST((SELECT min(v) FROM verts) AS BIGINT) AS v,
+         |         CAST((SELECT min(v) FROM verts) AS BIGINT) AS parent,
+         |         CAST(0 AS BIGINT) AS dist),
+         |vis0 AS (SELECT v FROM f0)""".stripMargin
+    val steps = (1 to levels).map { l =>
+      s"""f$l AS MATERIALIZED (
+         |  SELECT e.dst AS v, CAST(min(e.src) AS BIGINT) AS parent,
+         |         CAST($l AS BIGINT) AS dist
+         |  FROM f${l - 1} f JOIN edges e ON e.src = f.v
+         |  LEFT JOIN vis${l - 1} x ON x.v = e.dst
+         |  WHERE x.v IS NULL
+         |  GROUP BY e.dst),
+         |vis$l AS MATERIALIZED (
+         |  SELECT v FROM vis${l - 1} UNION ALL SELECT v FROM f$l)""".stripMargin
+    }
+    val unionAll = (0 to levels).map(l => s"SELECT v, parent, dist FROM f$l")
+      .mkString("\n  UNION ALL ")
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT v AS vid, parent, dist FROM (\n  $unionAll) t ORDER BY vid"
+  }
 
   def bfsSql(maxDepth: Int = 10): String =
     s"""WITH RECURSIVE $edgesCte,

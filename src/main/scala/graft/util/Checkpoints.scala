@@ -24,6 +24,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * checkpoint call, so each instance must be used single-threaded (which
   * every iterative kernel here is — the parallelism lives inside jobs).
   */
+object Checkpoints {
+  /** Run `body`, checkpoint its result, and free every persistent RDD the
+    * body created (including frames checkpointed inside callees) except
+    * those backing the returned result — a storage-hygiene scope for
+    * compositions of kernels whose internal checkpoints are not otherwise
+    * reachable from the caller. */
+  def scoped(spark: SparkSession)(body: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val res = body
+    val mid = sc.getPersistentRDDs.keySet
+    val out = res.localCheckpoint() // materialize free of the body's frames
+    mid.diff(before).foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    out
+  }
+}
+
 final class Checkpoints(spark: SparkSession) {
   private val sc = spark.sparkContext
   private val owned = new java.util.IdentityHashMap[DataFrame, Array[Int]]()
