@@ -34,12 +34,27 @@ object MarkovClustering {
     *        hard threshold over-pruned (kept nnz < recoverNum AND kept mass
     *        < recoverPct) — the MCL.cpp -R/-pct knobs scaled for test
     *        graphs; 0 disables recovery (prune+select only)
+    * @param phaseFlopBudget memory bound on a single expansion job: when
+    *        the estimated expansion flops (reference EstimateFLOP,
+    *        ParFriends.h:358-444) exceed it, the expansion runs in
+    *        ceil(flops/budget) output-column phases, each materialized
+    *        before the next starts — the relational analog of the
+    *        reference's CalculateNumberOfPhases / MemEfficientSpGEMM
+    *        integration into HipMCL (ParFriends.h:452-745). Expansion
+    *        densifies precisely mid-run, which is why the bound lives
+    *        INSIDE the loop, not only in the standalone SpGEMM.
+    * @param store optional snapshot store: each iteration's matrix is
+    *        committed with its nnz and estimated flops, so the manifest
+    *        chain records the phase decision (phases =
+    *        ceil(flops/budget)) exactly as the reference logs it
     * @return (vid: long, cluster: long) — cluster = min vid of its cluster */
   def run(edges: DataFrame, vertices: DataFrame,
           inflation: Double = 2.0, maxIters: Int = 20,
           epsilon: Double = 1e-4, pruneThreshold: Double = 1e-4,
           selectTop: Int = 50, recoverNum: Int = 10,
-          recoverPct: Double = 0.5): DataFrame = {
+          recoverPct: Double = 0.5,
+          phaseFlopBudget: Long = 500000000L,
+          store: Option[graft.checkpoint.SnapshotStore] = None): DataFrame = {
 
     // AdjustLoops: ensure a self-loop per vertex (reference MCL.cpp:463)
     val cp = new graft.util.Checkpoints(edges.sparkSession)
@@ -52,7 +67,9 @@ object MarkovClustering {
     var it = 0
     while (chaos > epsilon && it < maxIters) {
       it += 1
-      val expanded = MatrixOps.spgemm(a, a, PlusTimes)
+      val flops = estimateFlops(a)
+      val phases = math.max(1L, (flops + phaseFlopBudget - 1) / phaseFlopBudget).toInt
+      val expanded = expandPhased(a, phases, cp)
       val inflated = expanded.select(col("src"), col("dst"),
         pow(col("w"), inflation).as("w"))
       val pruned = pruneRecoverySelect(normalizeColumns(inflated),
@@ -60,8 +77,12 @@ object MarkovClustering {
       val prev = a
       a = cp(normalizeColumns(pruned))
       chaos = chaosOf(a)
+      store.foreach { st =>
+        val nnz = a.count()
+        st.commit(a, it, nnz, flops)
+      }
       cp.free(prev)
-      cp.freeAllExcept(a) // drops the round's `ranked` frame
+      cp.freeAllExcept(a) // drops the round's phase + `ranked` frames
     }
     // Interpret: clusters = connected components of the attractor pattern
     val pattern = a.where(col("w") > lit(1e-9)).select("src", "dst")
@@ -73,6 +94,34 @@ object MarkovClustering {
     // the returned plan reads only CC-internal checkpoints.
     cp.freeAll()
     clusters
+  }
+
+  /** Expansion flop estimate for A·A: Σ_k nnz(column k of left) ·
+    * nnz(row k of right) — the reference's EstimateFLOP
+    * (ParFriends.h:358-444), two map-side-combined degree aggregates and
+    * one keyed join. */
+  def estimateFlops(a: DataFrame): Long = {
+    val byDst = a.groupBy(col("dst").as("k")).agg(count(lit(1)).as("cd"))
+    val bySrc = a.groupBy(col("src").as("k")).agg(count(lit(1)).as("cs"))
+    byDst.join(bySrc, "k")
+      .agg(coalesce(sum(col("cd") * col("cs")), lit(0L)))
+      .first().getLong(0)
+  }
+
+  /** A·A in `phases` disjoint output-column groups (phase of an output
+    * cell = hash of its dst), each phase MATERIALIZED before the next
+    * starts so peak accumulator memory is bounded by ~flops/phases — the
+    * relational analog of the reference's column-range phases in
+    * MemEfficientSpGEMM (ParFriends.h:452-745). Output cells land in
+    * exactly one phase, so the union is the exact unphased product (no
+    * re-aggregation needed). */
+  def expandPhased(a: DataFrame, phases: Int,
+                   cp: graft.util.Checkpoints): DataFrame = {
+    if (phases <= 1) MatrixOps.spgemm(a, a, PlusTimes)
+    else (0 until phases).map { p =>
+      cp(MatrixOps.spgemm(a, a.where(pmod(col("dst"), lit(phases)) === p),
+        PlusTimes))
+    }.reduce(_ unionByName _)
   }
 
   /** MakeColStochastic (reference MCL.cpp:389-395). */

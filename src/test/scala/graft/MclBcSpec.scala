@@ -33,6 +33,42 @@ class MclBcSpec extends AnyFunSuite {
     assert(clusters.values.toSet.size == 3)
   }
 
+  test("phased expansion inside the MCL loop equals the single-phase run") {
+    val pairs = clique(Seq(0L, 1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) ++ Seq((4L, 10L), (2L, 12L))
+    val e = undirected(pairs).withColumn("w", lit(1.0))
+    val v = verticesOf(pairs)
+    def clusters(budget: Long) = MarkovClustering.run(e, v,
+        phaseFlopBudget = budget).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // budget 10 forces many phases on this graph (flops per round >> 10);
+    // huge budget = single phase. Cell-disjoint phases -> identical result.
+    assert(clusters(10L) == clusters(Long.MaxValue))
+  }
+
+  test("expansion flop estimate matches the brute-force count") {
+    val s = spark
+    import s.implicits._
+    val m = Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 0L, 1.0), (0L, 2L, 1.0))
+      .toDF("src", "dst", "w")
+    // flops = sum over k of nnzCol(k)*nnzRow(k):
+    // cols: 1->1, 2->2, 0->1; rows: 0->2, 1->1, 2->1
+    // k=1: 1*1=1; k=2: 2*1=2; k=0: 1*2=2 -> 5
+    assert(MarkovClustering.estimateFlops(m) == 5L)
+  }
+
+  test("MCL manifest chain records per-iteration nnz and expansion flops") {
+    val pairs = clique(Seq(0L, 1L, 2L)) ++ clique(Seq(5L, 6L, 7L))
+    val e = undirected(pairs).withColumn("w", lit(1.0))
+    val dir = java.nio.file.Files.createTempDirectory("mclsnap").toString
+    val store = new graft.checkpoint.SnapshotStore(dir)
+    MarkovClustering.run(e, verticesOf(pairs), store = Some(store)).count()
+    val snaps = store.snapshots()
+    assert(snaps.nonEmpty)
+    assert(snaps.map(_.iteration) == snaps.indices.map(_ + 1), "one commit per iteration")
+    assert(snaps.forall(s => s.flops > 0 && s.nnz > 0 && s.rows == s.nnz))
+  }
+
   test("pruneRecoverySelect re-admits top entries of over-pruned columns") {
     val s = spark
     import s.implicits._
