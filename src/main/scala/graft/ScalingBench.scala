@@ -45,23 +45,56 @@ object ScalingBench {
     if (mode == "bfs") {
       // Graph500-style: TEPS per root over K roots, harmonic mean
       // (reference TopDownBFS.cpp:460, 512-524; MTEPS = edges/sec/1e6).
+      // Kernel-2 timing boundary per the Graph500 spec: graph construction
+      // (the one-time block build) and the traversed-edge count run
+      // OUTSIDE the timed region — the reference times MPI BFS the same
+      // way (DirOptBFS.cpp:392-404 brackets only the BFS loop).
       import org.apache.spark.sql.functions._
+      val k = sys.env.getOrElse("SPARK_GRAFT_BFS_ROOTS", "8").toInt
+      val blockSize = 65536
+      val deg = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("outdeg"))
+      val roots = graft.operators.VectorOps.selectCandidates(deg, k, seed = 7L)
+        .collect().map(_.getLong(0)).toSeq
+      val blocks = graft.kernels.BlockBFS.buildBlocks(edges, blockSize)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      blocks.count()
+      val nV = 1L << scale
+      graft.kernels.BlockBFS.levelsOn(spark, blocks, nV, roots.head, 30, blockSize)
+        .count() // warmup
+      val teps = roots.map { r =>
+        val t0 = System.nanoTime()
+        val visited = graft.kernels.BlockBFS
+          .levelsOn(spark, blocks, nV, r, 30, blockSize)
+        visited.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val traversed = edges.join(
+          visited.select(col("vid").as("src")), Seq("src"), "left_semi").count()
+        visited.unpersist(false)
+        traversed / sec
+      }
+      val harmonic = teps.length / teps.map(1.0 / _).sum
+      println(f"""{"metric":"bfs_harmonic_teps","value":$harmonic%.0f,"unit":"edges/sec","mode":"bitmap","roots":$k,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+    } else if (mode == "bfs_rel") {
+      // the round-2 relational direction-optimizing path, same timing
+      // boundary, for the BENCH.md before/after comparison
       val k = sys.env.getOrElse("SPARK_GRAFT_BFS_ROOTS", "8").toInt
       val deg = edges.groupBy(col("src").as("v")).agg(count(lit(1)).as("outdeg"))
       val roots = graft.operators.VectorOps.selectCandidates(deg, k, seed = 7L)
         .collect().map(_.getLong(0)).toSeq
-      graft.kernels.BFS.levels(edges, roots.head).count() // warmup
+      graft.kernels.BFS.levels(edges, roots.head, bitmapMax = 0L).count() // warmup
       val teps = roots.map { r =>
         val t0 = System.nanoTime()
-        val visited = graft.kernels.BFS.levels(edges, r, maxDepth = 30).persist()
+        val visited = graft.kernels.BFS.levels(edges, r, maxDepth = 30,
+          bitmapMax = 0L).persist()
         visited.count()
+        val sec = (System.nanoTime() - t0) / 1e9
         val traversed = edges.join(
           visited.select(col("vid").as("src")), Seq("src"), "left_semi").count()
         visited.unpersist(false)
-        traversed / ((System.nanoTime() - t0) / 1e9)
+        traversed / sec
       }
       val harmonic = teps.length / teps.map(1.0 / _).sum
-      println(f"""{"metric":"bfs_harmonic_teps","value":$harmonic%.0f,"unit":"edges/sec","roots":$k,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+      println(f"""{"metric":"bfs_harmonic_teps","value":$harmonic%.0f,"unit":"edges/sec","mode":"relational","roots":$k,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
     } else if (mode == "bfs_bcast") {
       // round-1 behavior for comparison: pure top-down, unconditional
       // frontier broadcast (alpha=0 disables bottom-up; huge broadcastMax
@@ -71,11 +104,11 @@ object ScalingBench {
       val roots = graft.operators.VectorOps.selectCandidates(deg, k, seed = 7L)
         .collect().map(_.getLong(0)).toSeq
       graft.kernels.BFS.levels(edges, roots.head,
-        broadcastMax = Long.MaxValue, alpha = 0.0).count() // warmup
+        broadcastMax = Long.MaxValue, alpha = 0.0, bitmapMax = 0L).count() // warmup
       val teps = roots.map { r =>
         val t0 = System.nanoTime()
         val visited = graft.kernels.BFS.levels(edges, r, maxDepth = 30,
-          broadcastMax = Long.MaxValue, alpha = 0.0).persist()
+          broadcastMax = Long.MaxValue, alpha = 0.0, bitmapMax = 0L).persist()
         visited.count()
         val traversed = edges.join(
           visited.select(col("vid").as("src")), Seq("src"), "left_semi").count()
@@ -95,14 +128,32 @@ object ScalingBench {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"metric":"sssp_sec","value":$sec%.2f,"unit":"sec","reached":$n,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
     } else if (mode == "cc") {
+      // in-memory label-vector kernel, build/rounds split reported
+      // (Graph500-style kernel-1/kernel-2 boundary)
+      val bs = 65536
+      val nV = (1L << scale).toInt
+      graft.kernels.BlockCC.run(edges, verts, (1L << scale) - 1).count() // warmup
+      val t0 = System.nanoTime()
+      val blocks = graft.kernels.BlockCC.buildRowBlocks(edges, bs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      blocks.count()
+      val t1 = System.nanoTime()
+      graft.kernels.BlockCC.runOn(spark, blocks, verts, nV, bs, 50).count()
+      val t2 = System.nanoTime()
+      blocks.unpersist(false)
+      val buildSec = (t1 - t0) / 1e9; val roundsSec = (t2 - t1) / 1e9
+      val sec = (t2 - t0) / 1e9
+      println(f"""{"metric":"cc_sec","value":$sec%.2f,"unit":"sec","mode":"array","build_sec":$buildSec%.2f,"rounds_sec":$roundsSec%.2f,"rounds":${graft.kernels.BlockCC.lastRounds},"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+    } else if (mode == "cc_rel") {
       val bmax = sys.env.getOrElse("SPARK_GRAFT_CC_BCAST", "1000000").toLong
       // JIT/shuffle warmup only — two capped iterations, not a full run
       graft.kernels.ConnectedComponents.run(edges, verts, maxIters = 2,
-        broadcastMax = bmax).count()
+        broadcastMax = bmax, arrayMax = 0L).count()
       val t0 = System.nanoTime()
-      graft.kernels.ConnectedComponents.run(edges, verts, broadcastMax = bmax).count()
+      graft.kernels.ConnectedComponents.run(edges, verts, broadcastMax = bmax,
+        arrayMax = 0L).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"metric":"cc_sec","value":$sec%.2f,"unit":"sec","scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts,"bcastMax":$bmax}""")
+      println(f"""{"metric":"cc_sec","value":$sec%.2f,"unit":"sec","mode":"relational","scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts,"bcastMax":$bmax}""")
     } else if (mode == "blocked") {
       val bs = 1 << math.max(10, scale - 3) // ~8x8 block grid
       graft.kernels.PageRankBlocked.run(edges, verts, bs, 1).count() // warmup

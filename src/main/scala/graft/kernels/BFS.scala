@@ -40,6 +40,23 @@ object BFS {
   val BroadcastMax: Long =
     sys.env.getOrElse("SPARK_GRAFT_BCAST_MAX", "200000").toLong
 
+  /** Vertex-id spaces up to this size run the block-bitmap kernel
+    * ([[BlockBFS]] — one job per level instead of 3-4 relational jobs);
+    * beyond it (or when a spec forces a relational direction with
+    * `bitmapMax = 0`) the fully-distributed relational path runs. 2^27
+    * vertices = 16 MB of bitmap — far below driver limits; 10^12 vertices
+    * is not, which is why the relational path stays the general case. */
+  val BitmapMax: Long =
+    sys.env.getOrElse("SPARK_GRAFT_BITMAP_MAX", (1L << 27).toString).toLong
+
+  /** Below this vertex count the relational broadcast path wins: the
+    * bitmap kernel's one-time block build (a full edge shuffle) cannot
+    * amortize over a toy traversal (measured +1.2 s at sf0.1's 20k
+    * vertices), while broadcast-joining a tiny fringe is already near the
+    * per-level job floor. */
+  val BitmapMin: Long =
+    sys.env.getOrElse("SPARK_GRAFT_BITMAP_MIN", (1L << 17).toString).toLong
+
   /** Levels from `root`, capped at `maxDepth`; unreached vertices omitted.
     * @param edges symmetric (src, dst)
     * @param alpha direction switch: bottom-up when |unvisited| ≤ alpha·|fringe|
@@ -48,9 +65,16 @@ object BFS {
     * @return (vid: long, dist: long) */
   def levels(edges: DataFrame, root: Long, maxDepth: Int = 10,
              broadcastMax: Long = BroadcastMax,
-             alpha: Double = 2.0): DataFrame = {
+             alpha: Double = 2.0,
+             bitmapMax: Long = BitmapMax): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    if (bitmapMax > 0 && maxDepth <= 127) {
+      val maxId = edges.agg(greatest(max(col("src")), max(col("dst"))))
+        .first().getLong(0)
+      if (root >= 0 && maxId >= BitmapMin && maxId < bitmapMax)
+        return BlockBFS.levels(edges, root, maxDepth)
+    }
     val cp = new graft.util.Checkpoints(spark)
     // Static operands built once: the edge table and the probe universe
     // (every vertex with at least one in-edge — symmetric edges, so src

@@ -52,9 +52,28 @@ object ConnectedComponents {
   val SmallMax: Long =
     sys.env.getOrElse("SPARK_GRAFT_BCAST_MAX", "200000").toLong
 
+  /** Vertex-id spaces up to this size run the in-memory label-vector
+    * kernel ([[BlockCC]] — one treeAggregate job per round plus free
+    * driver-side full pointer compression, ~4 rounds instead of ~14);
+    * beyond it the fully-distributed relational FastSV runs. 2^23 labels
+    * = 32 MB per per-partition accumulator — the array path's footprint
+    * is O(V) per task, which is why its ceiling sits far below
+    * [[BFS.BitmapMax]]'s. */
+  val ArrayMax: Long =
+    sys.env.getOrElse("SPARK_GRAFT_CC_ARRAY_MAX", (1L << 23).toString).toLong
+
   /** @param edges symmetric (src, dst); @return (vid: long, component: long) */
   def run(edges: DataFrame, vertices: DataFrame, maxIters: Int = 50,
-          broadcastMax: Long = BroadcastMax): DataFrame = {
+          broadcastMax: Long = BroadcastMax,
+          arrayMax: Long = ArrayMax): DataFrame = {
+    if (arrayMax > 0) {
+      val maxId = math.max(
+        vertices.agg(coalesce(max(col("v")), lit(-1L))).first().getLong(0),
+        edges.agg(coalesce(greatest(max(col("src")), max(col("dst"))), lit(-1L)))
+          .first().getLong(0))
+      if (maxId >= 0 && maxId + 1 <= arrayMax)
+        return BlockCC.run(edges, vertices, maxId, maxIters = maxIters)
+    }
     val cp = new graft.util.Checkpoints(edges.sparkSession)
     val e = edges.select("src", "dst")
     // Isolated vertices are their own component by construction and can

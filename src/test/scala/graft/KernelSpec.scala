@@ -71,6 +71,24 @@ class KernelSpec extends AnyFunSuite {
     assert(cc == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
   }
 
+  test("cc array-kernel and relational FastSV paths agree") {
+    val pairs = RefKernels.randomGraph(300, 500, seed = 23L) // many components
+    val e = undirected(pairs)
+    val v = verticesOf(pairs)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val arr = asMap(ConnectedComponents.run(e, v)) // array path (small ids)
+    val rel = asMap(ConnectedComponents.run(e, v, arrayMax = 0L))
+    assert(arr == rel)
+    assert(arr == RefKernels.components(
+      (pairs ++ pairs.map(p => (p._2, p._1))).distinct,
+      pairs.flatMap(p => Seq(p._1, p._2)).distinct))
+    // multi-block array path
+    val arrSmallBlocks = asMap(graft.kernels.BlockCC.run(e, v,
+      pairs.flatMap(p => Seq(p._1, p._2)).max, blockSize = 32))
+    assert(arrSmallBlocks == rel)
+  }
+
   test("BFS: bottom-up, shuffle top-down, and adaptive paths all agree") {
     val pairs = RefKernels.randomGraph(80, 300, seed = 11L)
     val e = undirected(pairs)
@@ -79,10 +97,14 @@ class KernelSpec extends AnyFunSuite {
     val want = RefKernels.bfs(edgeSeq, root)
     def asMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(asMap(BFS.levels(e, root)) == want, "adaptive")
-    assert(asMap(BFS.levels(e, root, alpha = Double.MaxValue)) == want, "forced bottom-up")
-    assert(asMap(BFS.levels(e, root, broadcastMax = 0L, alpha = 0.0)) == want,
+    assert(asMap(BFS.levels(e, root)) == want, "default (block-bitmap)")
+    assert(asMap(BFS.levels(e, root, bitmapMax = 0L)) == want, "relational adaptive")
+    assert(asMap(BFS.levels(e, root, alpha = Double.MaxValue, bitmapMax = 0L)) == want,
+      "forced bottom-up")
+    assert(asMap(BFS.levels(e, root, broadcastMax = 0L, alpha = 0.0, bitmapMax = 0L)) == want,
       "forced top-down, shuffle join")
+    assert(asMap(graft.kernels.BlockBFS.levels(e, root, blockSize = 64)) == want,
+      "bitmap kernel, multi-block")
   }
 
   test("SSSP differential vs driver Dijkstra; frontier paths agree") {
