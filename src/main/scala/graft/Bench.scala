@@ -81,6 +81,9 @@ object Bench {
     val prIters = 10
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     results("pagerank") = time { PageRank.run(edges, verts, prIters).count() }
+    // in-memory rank-vector kernel (same iteration count; differential-
+    // tested against the relational result at 1e-9 in KernelSpec)
+    results("pagerank_arr") = time { PageRankArray.run(edges, verts, prIters).count() }
     results("pagerank_blocked") = time {
       PageRankBlocked.run(edges, verts, blockSize = 4096, iters = prIters).count()
     }

@@ -154,6 +154,29 @@ object ScalingBench {
         arrayMax = 0L).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"metric":"cc_sec","value":$sec%.2f,"unit":"sec","mode":"relational","scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts,"bcastMax":$bmax}""")
+    } else if (mode == "pr_array") {
+      // in-memory rank-vector PageRank: build (kernel-1) and iterations
+      // (kernel-2) split, same boundary as the bfs/cc array modes
+      val bs = 65536
+      val nIds = (1L << scale).toInt
+      import org.apache.spark.sql.functions._
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val edgesNorm = edges.join(outdeg, "src")
+        .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
+      graft.kernels.PageRankArray.run(edges, verts, iters = 1).count() // warmup
+      val t0 = System.nanoTime()
+      val blocks = graft.kernels.BlockBuild.csrValBlocks(edgesNorm, bs,
+          Seq(col("rb"), pmod(col("cb"), lit(8))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      blocks.count()
+      val t1 = System.nanoTime()
+      graft.kernels.PageRankArray.runOn(spark, blocks, verts, nIds,
+        1L << scale, iters, 0.85, bs).count()
+      val t2 = System.nanoTime()
+      blocks.unpersist(false)
+      val buildSec = (t1 - t0) / 1e9
+      val iterSec = (t2 - t1) / 1e9 / iters
+      println(f"""{"metric":"pagerank_eps","value":${nnz / iterSec}%.0f,"unit":"edges/sec","mode":"array","build_sec":$buildSec%.2f,"iter_sec":$iterSec%.3f,"iters":$iters,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
     } else if (mode == "blocked") {
       val bs = 1 << math.max(10, scale - 3) // ~8x8 block grid
       graft.kernels.PageRankBlocked.run(edges, verts, bs, 1).count() // warmup

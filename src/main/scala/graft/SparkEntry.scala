@@ -6,7 +6,7 @@ import graft.graph.{Dictionary, LinkGraph}
 import graft.kernels._
 import graft.linalg.{MinPlus, PlusTimes, SpMV}
 import graft.operators.{MatrixOps, VectorOps}
-import graft.oracle.{GraphOracles, OpOracles, TextOracles}
+import graft.oracle.{GraphOracles, MediaOracles, OpOracles, TextOracles}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -163,10 +163,12 @@ object SparkEntry {
       val built = graph.WebGraph.build(pages.PageGen.pages(s, IngestPages))
       built.edges.orderBy("src", "dst")
     }),
-    // ---- non-SQL-expressible pipelines (driver does a rows-only check) ----
     "media_stats" -> ((s, dir) =>
+      // DuckDB re-derives the header decode from the raw payload bytes
+      // Verify dumps to auxDir (hex + positional byte extraction)
       media.Media.kindStats(media.Media.decodeMeta(media.Media.payloads(s, 500)))
         .orderBy("kind")),
+    // ---- non-SQL-expressible pipelines (driver does a rows-only check) ----
     "mcl_clusters" -> ((s, dir) =>
       MarkovClustering.run(LinkGraph.weightedEdges(s, dir), LinkGraph.vertices(s, dir),
           maxIters = 6)
@@ -224,6 +226,7 @@ object SparkEntry {
       tables = 8, bucketCap = 50),
     "bandwidth" -> OpOracles.bandwidthSql,
     "ingest_linkgraph" -> GraphOracles.ingestLinkGraphSql(s"$auxDir/pages"),
+    "media_stats" -> MediaOracles.mediaStatsSql(s"$auxDir/media"),
     "events_window" -> TextOracles.eventsWindowSql,
     "events_sessions" -> TextOracles.eventsSessionsSql(1800),
   )

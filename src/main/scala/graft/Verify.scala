@@ -25,6 +25,13 @@ object Verify {
         org.apache.spark.sql.functions.decode(
           org.apache.spark.sql.functions.col("html"), "UTF-8").as("html"))
       .coalesce(1).write.mode("overwrite").parquet(s"${SparkEntry.auxDir}/pages")
+    // Raw media payload bytes: the media_stats oracle re-runs the header
+    // decode in SQL (hex + positional byte extraction), so it needs only
+    // the opaque blobs — not the kind column and not the decoded fields.
+    graft.media.Media.payloads(spark, 500).toDF()
+      .select(org.apache.spark.sql.functions.col("media_id"),
+        org.apache.spark.sql.functions.col("payload"))
+      .coalesce(1).write.mode("overwrite").parquet(s"${SparkEntry.auxDir}/media")
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -26,14 +26,34 @@ object LinkGraph {
 
   /** Per-(session, dir) cache of the derived relations: a multi-query run
     * (the Verify gate, the bench) otherwise re-executes the lineitem
-    * self-join for every kernel. Entries persist for the session — the
-    * working set is a handful of small derived tables per sf dir. */
+    * self-join for every kernel. Bounded: past `CacheMax` entries the
+    * oldest is unpersisted and dropped (a long-lived service iterating
+    * over many sf dirs stays at a constant persisted footprint). */
+  val CacheMax: Int = sys.env.getOrElse("SPARK_GRAFT_RELCACHE_MAX", "12").toInt
+
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.LinkedHashMap[(SparkSession, String, String), DataFrame](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, String), DataFrame]): Boolean = {
+        val evict = size() > CacheMax
+        if (evict) e.getValue.unpersist(blocking = false)
+        evict
+      }
+    }
 
   private def cached(spark: SparkSession, dir: String, key: String)
-                    (build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((spark, dir, key), _ => build.persist())
+                    (build: => DataFrame): DataFrame = cache.synchronized {
+    val k = (spark, dir, key)
+    val hit = cache.get(k)
+    if (hit != null) hit
+    else { val df = build.persist(); cache.put(k, df); df }
+  }
+
+  /** Drop and unpersist every cached relation (tests / session teardown). */
+  def clearCache(): Unit = cache.synchronized {
+    cache.values().forEach(_.unpersist(false))
+    cache.clear()
+  }
 
   /** Unweighted symmetric edges (src: long, dst: long). */
   def edges(spark: SparkSession, dir: String): DataFrame =

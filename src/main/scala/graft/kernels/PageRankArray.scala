@@ -1,0 +1,145 @@
+package graft.kernels
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** PageRank with an in-memory rank vector — the third member of the
+  * array-kernel family ([[BlockBFS]], [[BlockCC]]), for the regime where
+  * |V| doubles fit in driver/executor memory (32 MB at 2^22 — the
+  * FullyDistVec dense-vector analog; CombBLAS allgathers exactly this
+  * array down the processor column per SpMV, ParFriends.h:1938-2010).
+  *
+  * Per iteration: broadcast the rank array, ONE job scans the persisted
+  * value-carrying CSR blocks (w = 1/outdeg folded in at build, so the
+  * matrix is column-stochastic over non-dangling sources) and emits
+  * per-rowBlock partial contribution segments; the driver assembles
+  * y = Aᵀx, recovers the dangling mass as Σx − Σy (each non-dangling
+  * column sums to 1 — [[PageRankBlocked]]'s identity), and applies the
+  * teleport formula in a flat array pass. No per-iteration shuffle at
+  * all — the 2 keyed exchanges of the relational path become one 256 MB
+  * in-process collect.
+  *
+  * Determinism: per-row columns are sorted at build
+  * ([[BlockBuild.csrValBlocks]]), blocks emit in (rb, cb) order, and the
+  * driver adds partial segments in (rb, partitionId) order — the FP sum
+  * order is fixed for a fixed shuffle-partition count. Across DIFFERENT
+  * partition counts (or vs the relational path's hash aggregation) sums
+  * agree to ulps, not bits — so the gate's exact-hash pagerank query
+  * stays on the relational kernel and this one is differential-tested
+  * against it at 1e-9 (tighter than the north rule's 1e-6 allclose).
+  *
+  * Beyond ~2^27 vertices the rank array outgrows sensible broadcast
+  * sizes and the relational kernel (vector-only movement, keyed joins)
+  * is the path that scales on executors — same regime split as the other
+  * array kernels.
+  */
+object PageRankArray {
+
+  /** @param edges (src, dst); @param vertices (v) — dense ids ≤ maxId
+    * @return (vid, pr) UNROUNDED, one row per vertex (differential specs
+    *         compare against [[PageRank.runExact]] at 1e-9) */
+  def run(edges: DataFrame, vertices: DataFrame, iters: Int = 10,
+          d: Double = 0.85, blockSize: Int = 65536,
+          colSplits: Int = 8): DataFrame = {
+    val spark = edges.sparkSession
+    val maxId = math.max(
+      vertices.agg(coalesce(max(col("v")), lit(-1L))).first().getLong(0),
+      edges.agg(coalesce(greatest(max(col("src")), max(col("dst"))), lit(-1L)))
+        .first().getLong(0))
+    require(maxId >= 0 && maxId + 1 <= Int.MaxValue.toLong,
+      "array path requires V < 2^31")
+    val n = vertices.count()
+
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesNorm = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
+    val blocks = BlockBuild.csrValBlocks(edgesNorm, blockSize,
+        Seq(col("rb"), pmod(col("cb"), lit(colSplits))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    blocks.count()
+    val out = runOn(spark, blocks, vertices, (maxId + 1).toInt, n, iters, d,
+      blockSize)
+    blocks.unpersist(blocking = false)
+    out
+  }
+
+  /** Iterations over pre-built persisted blocks (bench kernel-2 boundary).
+    * @param nIds  size of the id space (maxId + 1)
+    * @param nVerts |vertices| — the PageRank n in the teleport formula */
+  def runOn(spark: SparkSession, blocks: RDD[ValBlock], vertices: DataFrame,
+            nIds: Int, nVerts: Long, iters: Int, d: Double,
+            blockSize: Int): DataFrame = {
+    val sc = spark.sparkContext
+    import spark.implicits._
+    val bs = blockSize
+    val nn = nIds
+    var pr = new Array[Double](nIds)
+    // init 1/n on actual vertices only (id space may be sparse)
+    val isVertex = new Array[Boolean](nIds)
+    vertices.select(col("v").cast("long")).as[Long].collect()
+      .foreach(v => isVertex(v.toInt) = true)
+    val init = 1.0 / nVerts
+    var v0 = 0
+    while (v0 < nIds) { if (isVertex(v0)) pr(v0) = init; v0 += 1 }
+
+    for (_ <- 1 to iters) {
+      val bcX = sc.broadcast(pr)
+      val segs = blocks.mapPartitionsWithIndex { (pid, iter) =>
+        val x = bcX.value
+        val perRb = collection.mutable.LinkedHashMap[Int, Array[Double]]()
+        iter.foreach { blk =>
+          val seg = perRb.getOrElseUpdate(blk.rowBlock, new Array[Double](bs))
+          val cbase = blk.colBlock * bs
+          val rbase = blk.rowBlock * bs
+          val rMax = math.min(bs, nn - rbase)
+          var r = 0
+          while (r < rMax) {
+            var p = blk.rowPtr(r)
+            val end = blk.rowPtr(r + 1)
+            var s = seg(r)
+            while (p < end) {
+              s += blk.values(p) * x(cbase + blk.colIdx(p))
+              p += 1
+            }
+            seg(r) = s
+            r += 1
+          }
+        }
+        perRb.iterator.map { case (rb, seg) => (rb, pid, seg) }
+      }.collect()
+      bcX.destroy()
+
+      val y = new Array[Double](nIds)
+      // fixed merge order -> deterministic FP for a fixed partition count
+      segs.sortBy(s => (s._1, s._2)).foreach { case (rb, _, seg) =>
+        val rbase = rb * bs
+        val rMax = math.min(bs, nIds - rbase)
+        var r = 0
+        while (r < rMax) { y(rbase + r) += seg(r); r += 1 }
+      }
+      var sx = 0.0; var sy = 0.0
+      var i = 0
+      while (i < nIds) { sx += pr(i); sy += y(i); i += 1 }
+      val sink = sx - sy // dangling mass (columns of A sum to 1 or 0)
+      val next = new Array[Double](nIds)
+      val tele = (1 - d) / nVerts
+      i = 0
+      while (i < nIds) {
+        if (isVertex(i)) next(i) = tele + d * (y(i) + sink / nVerts)
+        i += 1
+      }
+      pr = next
+    }
+
+    val bcPr = sc.broadcast(pr)
+    val out = vertices.select(col("v").cast("long")).as[Long]
+      .mapPartitions { it =>
+        val p = bcPr.value
+        it.map(v => (v, p(v.toInt)))
+      }.toDF("vid", "pr").localCheckpoint()
+    bcPr.destroy()
+    out
+  }
+}

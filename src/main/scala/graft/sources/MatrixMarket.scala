@@ -108,12 +108,14 @@ object MatrixMarket {
     import scala.jdk.CollectionConverters._
     val parts = Files.list(Paths.get(bodyDir))
     try {
-      parts.iterator().asScala.toSeq
-        .filter(_.getFileName.toString.startsWith("part-"))
-        .sortBy(_.getFileName.toString)
-        .foreach { p =>
-          Files.write(out, Files.readAllBytes(p), StandardOpenOption.APPEND)
-        }
+      // streaming append — never materializes a part file in driver memory
+      val sink = Files.newOutputStream(out, StandardOpenOption.APPEND)
+      try
+        parts.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .sortBy(_.getFileName.toString)
+          .foreach { p => Files.copy(p, sink) }
+      finally sink.close()
     } finally parts.close()
   }
 }

@@ -123,6 +123,24 @@ class KernelSpec extends AnyFunSuite {
     assert(shuffled == want, "sssp shuffle-join path")
   }
 
+  test("array-vector pagerank matches the relational kernel to 1e-9") {
+    for (seed <- Seq(3L, 19L)) {
+      val pairs = RefKernels.randomGraph(120, 400, seed)
+      val e = undirected(pairs)
+      val v = verticesOf(pairs)
+      val rel = PageRank.runExact(e, v, 10, 0.85).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val arr = graft.kernels.PageRankArray.run(e, v, 10, blockSize = 64)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(arr.keySet == rel.keySet)
+      for ((k, x) <- arr) assert(math.abs(x - rel(k)) < 1e-9, s"v=$k: $x vs ${rel(k)}")
+      // determinism at fixed partition count
+      val arr2 = graft.kernels.PageRankArray.run(e.repartition(5), v, 10, blockSize = 64)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(arr2 == arr, "array pagerank not deterministic under input repartitioning")
+    }
+  }
+
   test("pagerank shuffle-join path (broadcastMax=0) equals broadcast path") {
     val pairs = RefKernels.randomGraph(80, 300, seed = 7L)
     val e = undirected(pairs)
