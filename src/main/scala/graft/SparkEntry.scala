@@ -151,6 +151,13 @@ object SparkEntry {
       sim.Ann.multiTableTopK(Tables.embeddings(s, dir), 20, 5, bits = 8,
           tables = 8, bucketCap = 50)
         .orderBy("qid", "rank")),
+    "ann_ivf" -> ((s, dir) =>
+      sim.Ann.ivfTopK(Tables.embeddings(s, dir), 20, 5, nCells = 16, nProbe = 4)
+        .orderBy("qid", "rank")),
+    "dedup_embed" -> ((s, dir) =>
+      sim.Ann.embedNearDup(Tables.embeddings(s, dir), minCos = 0.35, bits = 8,
+          tables = 8, bucketCap = 50)
+        .orderBy("a", "b")),
     "bandwidth" -> ((s, dir) =>
       operators.EWise.bandwidth(LinkGraph.edges(s, dir))),
     "events_window" -> ((s, dir) =>
@@ -168,6 +175,14 @@ object SparkEntry {
       // Verify dumps to auxDir (hex + positional byte extraction)
       media.Media.kindStats(media.Media.decodeMeta(media.Media.payloads(s, 500)))
         .orderBy("kind")),
+    "media_features" -> ((s, dir) =>
+      // integer-exact strided projection, re-derived by the oracle from the
+      // same payload dump (exploded to rows; float32 widened to double)
+      media.Media.features(media.Media.payloads(s, 500), 16)
+        .select(col("media_id"), posexplode(col("features")).as(Seq("d", "f")))
+        .select(col("media_id"), col("d").cast("long").as("d"),
+          col("f").cast("double").as("feature"))
+        .orderBy("media_id", "d")),
     // ---- non-SQL-expressible pipelines (driver does a rows-only check) ----
     "mcl_clusters" -> ((s, dir) =>
       MarkovClustering.run(LinkGraph.weightedEdges(s, dir), LinkGraph.vertices(s, dir),
@@ -224,9 +239,13 @@ object SparkEntry {
     "ann_lsh_topk" -> TextOracles.annLshTopKSql(20, 5, 8),
     "ann_multitable" -> TextOracles.annMultiTableSql(20, 5, bits = 8,
       tables = 8, bucketCap = 50),
+    "ann_ivf" -> TextOracles.annIvfSql(20, 5, nCells = 16, nProbe = 4),
+    "dedup_embed" -> TextOracles.embedNearDupSql(0.35, bits = 8,
+      tables = 8, bucketCap = 50),
     "bandwidth" -> OpOracles.bandwidthSql,
     "ingest_linkgraph" -> GraphOracles.ingestLinkGraphSql(s"$auxDir/pages"),
     "media_stats" -> MediaOracles.mediaStatsSql(s"$auxDir/media"),
+    "media_features" -> MediaOracles.mediaFeaturesSql(s"$auxDir/media", 16),
     "events_window" -> TextOracles.eventsWindowSql,
     "events_sessions" -> TextOracles.eventsSessionsSql(1800),
   )

@@ -137,19 +137,26 @@ object Media {
   }
 
   /** Feature extraction stand-in: fixed-dim float vector per item from a
-    * rolling projection of the payload — a real embedding model slots in
-    * here; the (media_id, features array<float>) contract is the real one. */
+    * strided byte-histogram projection of the payload — a real embedding
+    * model slots in here; the (media_id, features array<float>) contract is
+    * the real one. Accumulation is INTEGER (sum of unsigned bytes per
+    * dimension slot, exact) with a single double divide + float round at
+    * the end, so the result is bit-identically re-derivable by the DuckDB
+    * oracle from the raw payload bytes (gate query `media_features`). */
   def features(items: Dataset[MediaItem], dim: Int = 16): DataFrame = {
     val spark = items.sparkSession
     import spark.implicits._
     items.mapPartitions { it =>
       it.map { m =>
-        val f = new Array[Float](dim)
+        val s = new Array[Long](dim)
         var i = 0
         while (i < m.payload.length) {
-          f(i % dim) += (m.payload(i) & 0xFF) / 255.0f
+          s(i % dim) += (m.payload(i) & 0xFF)
           i += 1
         }
+        val f = new Array[Float](dim)
+        var d = 0
+        while (d < dim) { f(d) = (s(d) / 255.0).toFloat; d += 1 }
         (m.media_id, f)
       }
     }.toDF("media_id", "features")

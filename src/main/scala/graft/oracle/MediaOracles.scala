@@ -57,4 +57,26 @@ object MediaOracles {
        |       CAST(sum(n_bytes) AS BIGINT) AS bytes,
        |       avg(CAST(width AS DOUBLE) * CAST(height AS DOUBLE)) AS avg_pixels
        |FROM decoded GROUP BY kind ORDER BY kind""".stripMargin
+
+  /** Re-derives [[graft.media.Media.features]] (gate query `media_features`)
+    * from the raw payload bytes: per-dimension INTEGER byte sums (exact) →
+    * one double divide → float32 round → double widen, the same operation
+    * chain the kernel runs, so the values are bit-identical. */
+  def mediaFeaturesSql(mediaDir: String, dim: Int = 16): String =
+    s"""WITH m AS MATERIALIZED (
+       |  SELECT media_id, upper(hex(payload)) AS h,
+       |         CAST(octet_length(payload) AS BIGINT) AS n
+       |  FROM read_parquet('$mediaDir/*.parquet')),
+       |off AS MATERIALIZED (
+       |  SELECT media_id, h, unnest(range(0, n)) AS o FROM m),
+       |byt AS MATERIALIZED (
+       |  SELECT media_id, CAST(o % $dim AS BIGINT) AS d,
+       |         (strpos('0123456789ABCDEF', substr(h, CAST(2*o+1 AS INT), 1)) - 1) * 16
+       |         + strpos('0123456789ABCDEF', substr(h, CAST(2*o+2 AS INT), 1)) - 1 AS b
+       |  FROM off),
+       |s AS MATERIALIZED (
+       |  SELECT media_id, d, sum(b) AS sb FROM byt GROUP BY media_id, d)
+       |SELECT media_id, d,
+       |       CAST(CAST(CAST(sb AS DOUBLE)/255.0 AS FLOAT) AS DOUBLE) AS feature
+       |FROM s ORDER BY media_id, d""".stripMargin
 }

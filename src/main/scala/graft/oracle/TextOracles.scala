@@ -137,6 +137,76 @@ object TextOracles {
        |  FROM scored) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** Mirrors [[graft.sim.Ann.ivfTopK]] step for step: seeded md5 centroid
+    * sample → nearest-cell assignment (cos desc, cid asc) → nProbe probed
+    * cells per query → exact cosine rank within candidates. All FP is the
+    * same left-fold dot product, so every boundary is exact. */
+  def annIvfSql(nQueries: Int = 20, k: Int = 5, nCells: Int = 16,
+                nProbe: Int = 4, seed: String = "ivf"): String =
+    s"""WITH $annBase,
+       |cents AS MATERIALIZED (
+       |  SELECT vec_id AS cid, e AS ce, norm AS cn FROM (
+       |    SELECT vec_id, e, norm,
+       |           md5('$seed:' || CAST(vec_id AS VARCHAR)) AS pri FROM base)
+       |  ORDER BY pri, vec_id LIMIT $nCells),
+       |scoredc AS MATERIALIZED (
+       |  SELECT b.vec_id, c.cid,
+       |         list_dot_product(b.e, c.ce)/(b.norm*c.cn) AS cos
+       |  FROM base b CROSS JOIN cents c),
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id AS nid, CAST(cid AS BIGINT) AS cell FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+       |    FROM scoredc) WHERE rn = 1),
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id AS qid, CAST(cid AS BIGINT) AS cell FROM (
+       |    SELECT vec_id, cid,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+       |    FROM scoredc WHERE vec_id < $nQueries) WHERE rn <= $nProbe),
+       |cand AS MATERIALIZED (
+       |  SELECT p.qid, a.nid FROM probes p
+       |  JOIN assign a ON p.cell = a.cell AND p.qid <> a.nid),
+       |scored AS MATERIALIZED (
+       |  SELECT p.qid, p.nid,
+       |         list_dot_product(q.e, c.e)/(q.norm*c.norm) AS cos
+       |  FROM cand p JOIN base q ON q.vec_id = p.qid
+       |              JOIN base c ON c.vec_id = p.nid)
+       |SELECT qid, nid, rank FROM (
+       |  SELECT qid, nid,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** Mirrors [[graft.sim.Ann.embedNearDup]]: the multi-table capped LSH
+    * banding of [[annMultiTableSql]] with a < b, exact-cosine threshold. */
+  def embedNearDupSql(minCos: Double, bits: Int = 16, tables: Int = 4,
+                      bucketCap: Int = 1000): String = {
+    val tableSelects = (0 until tables).map { t =>
+      val bucket = (0 until bits)
+        .map(i => s"(CASE WHEN embedding[${t * bits + i + 1}] >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, CAST($bucket AS BIGINT) AS bucket FROM embeddings"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH allb AS MATERIALIZED (
+       |  $tableSelects),
+       |capped AS MATERIALIZED (
+       |  SELECT vec_id, tbl, bucket FROM (
+       |    SELECT vec_id, tbl, bucket,
+       |           row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS rn
+       |    FROM allb) WHERE rn <= $bucketCap),
+       |pairs AS MATERIALIZED (
+       |  SELECT DISTINCT q.vec_id AS a, c.vec_id AS b
+       |  FROM capped q JOIN capped c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |   AND q.vec_id < c.vec_id),
+       |$annBase,
+       |scored AS MATERIALIZED (
+       |  SELECT p.a, p.b,
+       |         list_dot_product(x.e, y.e)/(x.norm*y.norm) AS cos
+       |  FROM pairs p JOIN base x ON x.vec_id = p.a
+       |               JOIN base y ON y.vec_id = p.b)
+       |SELECT a, b, cos FROM scored
+       |WHERE cos >= CAST('$minCos' AS DOUBLE) ORDER BY a, b""".stripMargin
+  }
+
   def simhashSql: String = {
     val sums = (0 until 32).map { j =>
       val nib = s"(strpos('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1)"

@@ -100,6 +100,81 @@ object Ann {
       .select(col("qid"), col("nid"), col("rank"))
   }
 
+  /** IVF-style ANN (the FAISS IVF-flat architecture on Spark): a tiny
+    * deterministic centroid table (the `nCells` vectors with smallest
+    * md5("seed:vec_id") — a seeded pseudo-random sample, same engine-neutral
+    * trick as MIS priorities) is BROADCAST; every vector is assigned to its
+    * nearest centroid by cosine in one pass (map-side-combined struct-max —
+    * the shuffle moves one row per vector, never per (vector, centroid)
+    * pair); each query probes its `nProbe` nearest cells and ranks exact
+    * cosine only within them. Sub-quadratic: candidate volume is
+    * ~nProbe/nCells of the corpus, and the candidate join is keyed by cell.
+    *
+    * Determinism: all FP is the same left-fold dot product as the rest of
+    * this file (bit-identical to the DuckDB oracle); assignment/probe/rank
+    * tiebreaks are pinned (cos desc, cid/nid asc).
+    * @return (qid, nid, rank) */
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, nCells: Int = 16,
+              nProbe: Int = 4, seed: String = "ivf"): DataFrame = {
+    val base = emb.select(col("vec_id"), dvec(col("embedding")).as("e"))
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+    val cents = base
+      .withColumn("pri", md5(concat_ws(":", lit(seed), col("vec_id"))))
+      .orderBy(col("pri"), col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("norm").as("cn"))
+    val scoredC = base.crossJoin(broadcast(cents))
+      .withColumn("cos", dot(col("e"), col("ce")) / (col("norm") * col("cn")))
+    // nearest cell per vector: max of (cos, -cid) = (cos desc, cid asc)
+    val assign = scoredC
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("m"))
+      .select(col("vec_id"), (-col("m.ncid")).cast("long").as("cell"))
+    val byQ = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid").asc)
+    val probes = scoredC.where(col("vec_id") < nQueries)
+      .withColumn("rn", row_number().over(byQ)).where(col("rn") <= nProbe)
+      .select(col("vec_id").as("qid"), col("cid").cast("long").as("cell"))
+    val cand = probes
+      .join(assign.select(col("vec_id").as("nid"), col("cell")), Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .select("qid", "nid")
+    val scored = cand
+      .join(base.select(col("vec_id").as("qid"), col("e").as("qe"), col("norm").as("qn")), "qid")
+      .join(base.select(col("vec_id").as("nid"), col("e").as("ne"), col("norm").as("nn")), "nid")
+      .withColumn("cos", dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
+    val byQid = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(byQid).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: multi-table sign-LSH candidate
+    * generation (same capped banding as [[multiTableTopK]]) filtered to
+    * exact cosine ≥ minCos — the embedding member of the dedup family.
+    * The threshold compare is exact in both engines (bit-identical left-fold
+    * dot products), so the boundary cannot flake.
+    * @return (a, b, cos) with a < b */
+  def embedNearDup(emb: DataFrame, minCos: Double, bits: Int = 16,
+                   tables: Int = 4, bucketCap: Int = 1000): DataFrame = {
+    val byBucket = Window.partitionBy("tbl", "bucket").orderBy("vec_id")
+    val b = multiTableBuckets(emb, bits, tables)
+      .withColumn("rn", row_number().over(byBucket))
+      .where(col("rn") <= bucketCap)
+      .select("vec_id", "tbl", "bucket")
+    val pairs = b.select(col("vec_id").as("a"), col("tbl"), col("bucket"))
+      .join(b.select(col("vec_id").as("b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val base = emb.select(col("vec_id"), dvec(col("embedding")).as("e"))
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+    pairs
+      .join(base.select(col("vec_id").as("a"), col("e").as("ae"), col("norm").as("an")), "a")
+      .join(base.select(col("vec_id").as("b"), col("e").as("be"), col("norm").as("bn")), "b")
+      .withColumn("cos", dot(col("ae"), col("be")) / (col("an") * col("bn")))
+      .where(col("cos") >= minCos)
+      .select(col("a"), col("b"), col("cos"))
+  }
+
   /** Bucketed ANN: exact cosine ranking restricted to same-bucket
     * candidates — the IVF/LSH scale path. (qid, nid, rank) */
   def bucketedTopK(emb: DataFrame, nQueries: Int, k: Int, bits: Int = 8): DataFrame = {

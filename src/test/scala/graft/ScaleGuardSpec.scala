@@ -72,6 +72,52 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(pairs(1000) == pairs(30))
   }
 
+  /** Mixed-sign embeddings so vectors spread across IVF cells. */
+  private def mixedEmb(n: Int) = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate(64)(j => (((i * 37 + j * 13) % 19) - 9) * 0.11f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("IVF ANN probing all cells equals exact top-k; deterministic under repartitioning") {
+    val emb = mixedEmb(60)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // nProbe = nCells: every cell probed -> candidates = whole corpus -> exact
+    val all = rows(Ann.ivfTopK(emb, 10, 4, nCells = 8, nProbe = 8))
+    val exact = rows(Ann.cosineTopK(emb, 10, 4))
+    assert(all == exact, "full-probe IVF must equal brute-force top-k")
+    val a = rows(Ann.ivfTopK(emb, 10, 4, nCells = 8, nProbe = 2))
+    val b = rows(Ann.ivfTopK(emb.repartition(7), 10, 4, nCells = 8, nProbe = 2))
+    assert(a == b, "IVF not deterministic under input repartitioning")
+    assert(a.nonEmpty && a.forall { case (_, _, r) => r >= 1 && r <= 4 })
+  }
+
+  test("embedNearDup: a<b, threshold respected, equals brute force on a degenerate bucket") {
+    val emb = onePosBucket(40) // all-positive: one shared bucket -> all pairs survive banding
+    val got = Ann.embedNearDup(emb, 0.9, bits = 16, tables = 4, bucketCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.forall { case (a, b, c) => a < b && c >= 0.9 })
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(x: Array[Double], y: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i) * y(i); i += 1 }
+      s
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val brute = for {
+      a <- ids; b <- ids if a < b
+      c = dot(vecs(a), vecs(b)) /
+        (math.sqrt(dot(vecs(a), vecs(a))) * math.sqrt(dot(vecs(b), vecs(b))))
+      if c >= 0.9
+    } yield (a, b, c)
+    assert(got.toSet == brute.toSet,
+      s"near-dup pairs ${got.length} != brute-force ${brute.length}")
+  }
+
   test("uncapped multi-table ANN on a single bucket equals exact top-k") {
     val emb = onePosBucket(40)
     def rows(df: org.apache.spark.sql.DataFrame) =

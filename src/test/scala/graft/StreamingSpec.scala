@@ -86,5 +86,13 @@ class StreamingSpec extends AnyFunSuite {
     val again = graft.media.Media.features(graft.media.Media.payloads(spark, 200), 16)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(feats.forall(r => again(r.getLong(0)) == r.getSeq[Float](1)))
+    // integer-exact strided projection: recompute per item by hand
+    val gotF = feats.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    items.collect().foreach { it =>
+      val sums = new Array[Long](16)
+      it.payload.zipWithIndex.foreach { case (b, i) => sums(i % 16) += (b & 0xFF) }
+      val want = sums.toSeq.map(x => (x / 255.0).toFloat)
+      assert(gotF(it.media_id) == want, s"feature mismatch for media ${it.media_id}")
+    }
   }
 }
