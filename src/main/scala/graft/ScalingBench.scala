@@ -37,12 +37,62 @@ object ScalingBench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val edges = RMat.symmetricGraph(spark, scale, ef).persist()
-    val nnz = edges.count()
-    val verts = spark.range(1L << scale).toDF("v").persist()
-    verts.count()
     val mode = if (args.length > 2) args(2) else "plain"
-    if (mode == "bfs") {
+    // Text/embedding modes synthesize their own corpus (scale = log2 rows)
+    // and never build the graph.
+    val textMode = mode == "minhash" || mode == "ann"
+    val (edges, verts, nnz) =
+      if (textMode) (null: org.apache.spark.sql.DataFrame, null: org.apache.spark.sql.DataFrame, 0L)
+      else {
+        val e = RMat.symmetricGraph(spark, scale, ef).persist()
+        val n = e.count()
+        val v = spark.range(1L << scale).toDF("v").persist()
+        v.count()
+        (e, v, n)
+      }
+    if (mode == "minhash") {
+      // Training-data pipeline scaling evidence: MinHash signatures over a
+      // deterministic synthetic corpus (PageGen.bodyText — pure fn of
+      // (seed, doc_id)). The kernel is shingle explode → distinct →
+      // 8-way min-aggregate: compute-heavy (8 md5 per (doc, shingle)),
+      // map-side combined, one keyed exchange.
+      import spark.implicits._
+      val nDocs = 1L << scale
+      val docs = spark.range(nDocs).as[Long]
+        .map(i => (i, graft.pages.PageGen.bodyText(1234L, i)))
+        .toDF("doc_id", "text")
+        .repartition(parts.toInt)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = docs.count()
+      graft.dedup.Dedup.minhash(docs.where(col("doc_id") < 20000)).count() // warmup
+      val t0 = System.nanoTime()
+      val sigs = graft.dedup.Dedup.minhash(docs).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"minhash_docs_per_sec","value":${n / sec}%.0f,"unit":"docs/sec","sec":$sec%.2f,"docs":$n,"sigs":$sigs,"scale":$scale,"cpus":$cpus,"parts":$parts}""")
+    } else if (mode == "ann") {
+      // Multi-table LSH ANN over deterministic synthetic embeddings
+      // (64-dim, splitmix-derived). Bucketed candidate join + exact
+      // cosine rank — the sub-quadratic scale path.
+      import spark.implicits._
+      val nVecs = 1L << scale
+      val emb = spark.range(nVecs).as[Long]
+        .map { i =>
+          (i, Array.tabulate(64) { j =>
+            (((graft.pages.PageGen.mix(99L ^ (i * 131 + j)) >>> 8) % 2001L) - 1000L) / 1000.0f
+          })
+        }
+        .toDF("vec_id", "embedding")
+        .repartition(parts.toInt)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = emb.count()
+      graft.sim.Ann.multiTableTopK(emb.where(col("vec_id") < 20000), 256, 10)
+        .count() // warmup
+      val t0 = System.nanoTime()
+      val rows = graft.sim.Ann.multiTableTopK(emb, 4096, 10, bits = 16,
+        tables = 4, bucketCap = 1000).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"ann_vecs_per_sec","value":${n / sec}%.0f,"unit":"vecs/sec","sec":$sec%.2f,"vecs":$n,"result_rows":$rows,"scale":$scale,"cpus":$cpus,"parts":$parts}""")
+    } else if (mode == "bfs") {
       // Graph500-style: TEPS per root over K roots, harmonic mean
       // (reference TopDownBFS.cpp:460, 512-524; MTEPS = edges/sec/1e6).
       // Kernel-2 timing boundary per the Graph500 spec: graph construction
