@@ -170,6 +170,11 @@ object SparkEntry {
       val built = graph.WebGraph.build(pages.PageGen.pages(s, IngestPages))
       built.edges.orderBy("src", "dst")
     }),
+    "ingest_text" -> ((s, dir) =>
+      // the input_hint per-row invariant: extracted text, byte-identical;
+      // the oracle re-runs the extraction in SQL over the pages dump
+      pages.Extract.textTable(pages.PageGen.pages(s, IngestPages))
+        .orderBy("url")),
     "media_stats" -> ((s, dir) =>
       // DuckDB re-derives the header decode from the raw payload bytes
       // Verify dumps to auxDir (hex + positional byte extraction)
@@ -244,6 +249,7 @@ object SparkEntry {
       tables = 8, bucketCap = 50),
     "bandwidth" -> OpOracles.bandwidthSql,
     "ingest_linkgraph" -> GraphOracles.ingestLinkGraphSql(s"$auxDir/pages"),
+    "ingest_text" -> GraphOracles.ingestTextSql(s"$auxDir/pages"),
     "media_stats" -> MediaOracles.mediaStatsSql(s"$auxDir/media"),
     "media_features" -> MediaOracles.mediaFeaturesSql(s"$auxDir/media", 16),
     "events_window" -> TextOracles.eventsWindowSql,

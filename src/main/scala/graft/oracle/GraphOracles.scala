@@ -312,6 +312,18 @@ object GraphOracles {
        |WHERE s.vid <> d.vid
        |ORDER BY src, dst""".stripMargin
 
+  /** The input_hint per-row invariant, independently re-derived: DuckDB
+    * re-runs the text extraction ([[graft.pages.Extract.extractText]] —
+    * concatenated lazy `<p>…</p>` group matches, newline-joined) over the
+    * html dumped by Verify. Compared byte-identically against the Spark
+    * extractor's output. */
+  def ingestTextSql(pagesDir: String): String =
+    s"""SELECT url,
+       |       coalesce(list_aggr(regexp_extract_all(html, '<p>(.*?)</p>', 1),
+       |                          'string_agg', chr(10)), '') AS extracted
+       |FROM read_parquet('$pagesDir/*.parquet')
+       |ORDER BY url""".stripMargin
+
   /** Unrolled level-synchronous BFS carrying min-parent per level —
     * mirrors [[graft.kernels.BFS.parents]] exactly (parent(v) = min
     * neighbor in the previous fringe; parent(root) = root). Levels ≥ the
