@@ -55,6 +55,11 @@ object SparkEntry {
       val root = LinkGraph.vertices(s, dir).agg(min(col("v"))).first().getLong(0)
       SSSP.run(LinkGraph.weightedEdges(s, dir), root).orderBy("vid")
     }),
+    "tdsp" -> ((s, dir) => {
+      val root = LinkGraph.vertices(s, dir).agg(min(col("v"))).first().getLong(0)
+      TDSP.run(LinkGraph.weightedEdges(s, dir), root, startT = 30000.0)
+        .orderBy("vid")
+    }),
     "bipartite_match" -> ((s, dir) => {
       val be = Tables.lineitem(s, dir)
         .select(col("l_orderkey").cast("long").as("r"),
@@ -213,6 +218,7 @@ object SparkEntry {
     "bfs_levels" -> GraphOracles.bfsSql(),
     "bfs_parents" -> GraphOracles.bfsParentsSql(),
     "sssp" -> GraphOracles.ssspSql(),
+    "tdsp" -> GraphOracles.tdspSql(startT = 30000.0),
     "bipartite_match" -> GraphOracles.matchingSql(),
     "auction_match" -> GraphOracles.auctionSql(),
     "rcm_order" -> GraphOracles.rcmSql(),

@@ -1,6 +1,6 @@
 package graft.kernels
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Single-source shortest paths — iterated SpMSpV over the (min, +)
@@ -31,15 +31,24 @@ object SSSP {
     * @param maxIters relaxation-round cap (dist after round k = min over
     *                 ≤ k-edge paths, so a cap short of the fixpoint still
     *                 has exact bounded-hop semantics)
+    * @param init  the root's starting label (0 for plain SSSP; the
+    *              departure time for [[TDSP]])
+    * @param relax label propagated over an edge as a function of
+    *              (source label, edge weight). Must be ≥ the source label
+    *              and non-decreasing in it (the FIFO property) for the
+    *              label-correcting loop to converge — (d, w) => d + w is
+    *              the MinPlus default, [[TDSP.arrive]] the time-dependent
+    *              variant.
     * @return (vid: long, dist: double) */
   def run(edges: DataFrame, root: Long, maxIters: Int = 30,
-          broadcastMax: Long = BFS.BroadcastMax): DataFrame = {
+          broadcastMax: Long = BFS.BroadcastMax, init: Double = 0.0,
+          relax: (Column, Column) => Column = (d, w) => d + w): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val cp = new graft.util.Checkpoints(spark)
     val e = edges.select("src", "dst", "w").persist()
     e.count()
-    var dist = cp(Seq((root, 0.0)).toDF("v", "d"))
+    var dist = cp(Seq((root, init)).toDF("v", "d"))
     var frontier = dist
     var frontierSize = 1L
     var it = 0
@@ -50,7 +59,7 @@ object SSSP {
                else fsrc.hint("shuffle_hash")
       val relaxed = e.join(fx, "src")
         .groupBy(col("dst").as("v"))
-        .agg(min(col("d") + col("w")).as("nd"))
+        .agg(min(relax(col("d"), col("w"))).as("nd"))
       val improved = cp(relaxed.join(dist.withColumnRenamed("d", "od"), Seq("v"), "left")
         .where(col("od").isNull || col("nd") < col("od"))
         .select(col("v"), col("nd").as("d")))

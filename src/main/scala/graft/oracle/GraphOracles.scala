@@ -109,6 +109,40 @@ object GraphOracles {
       s"\nSELECT v AS vid, d AS dist FROM d$iters ORDER BY vid"
   }
 
+  /** Unrolled time-dependent Bellman-Ford ([[graft.kernels.TDSP]]): the
+    * ssspSql recurrence with the arrival relaxation
+    * `d + (2 − 4·u·u)·w, u = fmod(d, P)/P − 0.5` in the kernel's exact
+    * left-associative operation order. DuckDB's `fmod` is C fmod, which is
+    * Java's `%` on doubles, and /,*,− are IEEE-exact in both engines, so
+    * every relaxed label is bit-identical by induction and min() over
+    * identical value sets is order-free — hash-exact with no rounding.
+    * The same frontier-vs-full-relaxation argument as ssspSql applies
+    * verbatim (monotone relax): d_k agrees per round, not just at the
+    * fixpoint. */
+  def tdspSql(startT: Double = 30000.0, iters: Int = 30): String = {
+    val P = dbl(graft.kernels.TDSP.Period)
+    val head =
+      s"""WITH RECURSIVE $edgesCte,
+         |${OpOracles.wedgesCte},
+         |d0 AS MATERIALIZED (
+         |  SELECT CAST((SELECT min(v) FROM verts) AS BIGINT) AS v,
+         |         ${dbl(startT)} AS d)""".stripMargin
+    val u = s"(fmod(p.d, $P)/$P - ${dbl(0.5)})"
+    val steps = (1 to iters).map { i =>
+      val p = s"d${i - 1}"
+      s"""d$i AS MATERIALIZED (
+         |  SELECT v, min(d) AS d FROM (
+         |    SELECT v, d FROM $p
+         |    UNION ALL
+         |    SELECT e.dst AS v,
+         |           p.d + (${dbl(2.0)} - ${dbl(4.0)} * $u * $u) * e.w AS d
+         |    FROM $p p JOIN wedges e ON e.src = p.v)
+         |  GROUP BY v)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT v AS vid, d AS dist FROM d$iters ORDER BY vid"
+  }
+
   /** Unrolled Luby rounds with the kernel's md5(seed:v) priorities —
     * idempotent once the active set drains, so rounds ≥ the kernel's
     * actual round count compare equal. */

@@ -123,6 +123,54 @@ class KernelSpec extends AnyFunSuite {
     assert(shuffled == want, "sssp shuffle-join path")
   }
 
+  test("TDSP differential vs time-dependent Dijkstra; dominates static SSSP") {
+    // Driver-side arrive in the kernel's exact JVM op order → bit-exact.
+    def arriveD(d: Double, w: Double): Double = {
+      val u = (d % TDSP.Period) / TDSP.Period - 0.5
+      d + (2.0 - 4.0 * u * u) * w
+    }
+    // FIFO relax ⇒ label-setting Dijkstra on arrival times is exact.
+    def tdDijkstra(edges: Seq[(Long, Long, Double)], root: Long,
+                   startT: Double): Map[Long, Double] = {
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+      val dist = collection.mutable.Map(root -> startT)
+      val done = collection.mutable.Set[Long]()
+      val pq = collection.mutable.PriorityQueue((startT, root))(Ordering.by(-_._1))
+      while (pq.nonEmpty) {
+        val (d, v) = pq.dequeue()
+        if (!done(v) && dist(v) == d) {
+          done += v
+          for ((u, w) <- adj.getOrElse(v, Nil) if !done(u)) {
+            val nd = arriveD(d, w)
+            if (!dist.contains(u) || nd < dist(u)) { dist(u) = nd; pq.enqueue((nd, u)) }
+          }
+        }
+      }
+      dist.toMap
+    }
+    val pairs = RefKernels.randomGraph(60, 220, seed = 13L)
+    val dirEdges = (pairs ++ pairs.map(p => (p._2, p._1))).distinct
+      // weights large vs the period so paths cross congestion phases, but
+      // < Period/4 = 21600 so f' = 1 + factor'·w > 0 (FIFO ⇒ Dijkstra-valid)
+      .map { case (a, b) => (a, b, (((a * 31 + b * 7) % 5 + 1) * 4000).toDouble) }
+    val s = spark
+    import s.implicits._
+    val e = dirEdges.toDF("src", "dst", "w")
+    val root = dirEdges.flatMap(t => Seq(t._1, t._2)).min
+    val startT = 30000.0
+    val want = tdDijkstra(dirEdges, root, startT)
+    val got = TDSP.run(e, root, startT, maxIters = 60).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want, "tdsp vs time-dependent dijkstra") // bit-exact by shared op order
+    // congestion factor ∈ [1,2] ⇒ time-dependent travel ≥ free-flow travel
+    val freeFlow = RefKernels.dijkstra(dirEdges, root)
+    for ((v, d) <- got)
+      assert(d - startT >= freeFlow(v) - 1e-9, s"v=$v arrives before free-flow bound")
+    val shuffled = TDSP.run(e, root, startT, maxIters = 60, broadcastMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(shuffled == want, "tdsp shuffle-join path")
+  }
+
   test("array-vector pagerank matches the relational kernel to 1e-9") {
     for (seed <- Seq(3L, 19L)) {
       val pairs = RefKernels.randomGraph(120, 400, seed)
