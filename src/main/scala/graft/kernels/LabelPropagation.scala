@@ -29,14 +29,39 @@ object LabelPropagation {
   val BroadcastMax = 5000000L
 
   /** @param edges symmetric (src, dst); @return (vid: long, label: long) */
-  def run(edges: DataFrame, vertices: DataFrame, rounds: Int = 5): DataFrame = {
+  def run(edges: DataFrame, vertices: DataFrame, rounds: Int = 5): DataFrame =
+    lp(edges, vertices, rounds, None, None)
+
+  /** Checkpointed run: commits every round's label vector to `store`
+    * (atomic manifest + per-partition lineage + nnz/flop metrics) and
+    * resumes from the latest snapshot. Rounds are pure functions of the
+    * previous vector, so a resumed run is bit-identical to an
+    * uninterrupted one. Pass `stopAfter` to abandon mid-run (crash
+    * simulation). */
+  def resumable(edges: DataFrame, vertices: DataFrame,
+                store: graft.checkpoint.SnapshotStore, rounds: Int = 5,
+                stopAfter: Option[Int] = None): DataFrame =
+    lp(edges, vertices, rounds, Some(store), stopAfter)
+
+  private def lp(edges: DataFrame, vertices: DataFrame, rounds: Int,
+                 store: Option[graft.checkpoint.SnapshotStore],
+                 stopAfter: Option[Int]): DataFrame = {
     val cp = new graft.util.Checkpoints(edges.sparkSession)
     val bcast = vertices.count() < BroadcastMax
     val e = (if (bcast) edges.select("src", "dst")
              else edges.select("src", "dst").repartition(col("src"))).persist()
-    e.count()
-    var labels = cp(vertices.select(col("v"), col("v").as("label")))
-    for (_ <- 1 to rounds) {
+    val nnz = e.count()
+    val resumed = store.flatMap(_.latest())
+    var labels = resumed match {
+      case Some(s) => cp(store.get.load(edges.sparkSession, s))
+      case None =>
+        val init = cp(vertices.select(col("v"), col("v").as("label")))
+        store.foreach(_.commit(init, 0, nnz, 0L))
+        init
+    }
+    val from = resumed.map(_.iteration).getOrElse(0)
+    val limit = stopAfter.map(s => math.min(s, rounds)).getOrElse(rounds)
+    for (round <- from + 1 to limit) {
       val lbl = labels.withColumnRenamed("v", "src")
       val counts = e.join(if (bcast) broadcast(lbl) else lbl.hint("shuffle_hash"), Seq("src"))
         .groupBy(col("dst").as("v"), col("label"))
@@ -49,6 +74,9 @@ object LabelPropagation {
       val prev = labels
       labels = cp(labels.join(best, Seq("v"), "left")
         .select(col("v"), coalesce(col("newLabel"), col("label")).as("label")))
+      // 2 flops per stored edge per round: the count accumulate plus the
+      // argmax struct-max compare.
+      store.foreach(_.commit(labels, round, nnz, 2L * nnz))
       cp.free(prev)
     }
     e.unpersist(false)

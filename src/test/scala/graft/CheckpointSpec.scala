@@ -55,6 +55,45 @@ class CheckpointSpec extends AnyFunSuite {
     assert(ps.agg(org.apache.spark.sql.functions.sum("rows")).collect()(0).getLong(0) == v.count())
   }
 
+  test("CC kill-and-resume is bit-identical to the uninterrupted run") {
+    import graft.kernels.ConnectedComponents
+    // arrayMax=0 forces the relational FastSV path — the one resumable()
+    // always takes (same labels either way, asserted by KernelSpec).
+    val full = ConnectedComponents.run(e, v, arrayMax = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val root = tmpdir("cc-resume")
+    ConnectedComponents.resumable(e, v, new SnapshotStore(root),
+      stopAfter = Some(2))
+    val store2 = new SnapshotStore(root)
+    assert(store2.latest().get.iteration == 2)
+    val resumed = ConnectedComponents.resumable(e, v, store2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == full, "resumed CC differs from uninterrupted run")
+    // resuming an already-converged run is a no-op round, same labels
+    val again = ConnectedComponents.resumable(e, v, new SnapshotStore(root))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == full, "resume-at-convergence changed labels")
+    val snaps = store2.snapshots()
+    assert(snaps.map(_.iteration) == (0 until snaps.length))
+    assert(snaps.sliding(2).forall { case Seq(a, b) => b.parentId == a.snapshotId })
+    assert(snaps.last.flops == 2 * e.count())
+  }
+
+  test("label propagation kill-and-resume is bit-identical") {
+    import graft.kernels.LabelPropagation
+    val full = LabelPropagation.run(e, v, rounds = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val root = tmpdir("lp-resume")
+    LabelPropagation.resumable(e, v, new SnapshotStore(root), rounds = 5,
+      stopAfter = Some(3))
+    val store2 = new SnapshotStore(root)
+    assert(store2.latest().get.iteration == 3)
+    val resumed = LabelPropagation.resumable(e, v, store2, rounds = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == full, "resumed LP differs from uninterrupted run")
+    assert(store2.snapshots().map(_.iteration) == Seq(0, 1, 2, 3, 4, 5))
+  }
+
   test("garbage and torn manifests are ignored on resume") {
     val root = tmpdir("garbage")
     val store = new SnapshotStore(root)
