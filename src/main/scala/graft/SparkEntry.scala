@@ -66,6 +66,17 @@ object SparkEntry {
           col("l_partkey").cast("long").as("c")).distinct()
       BipartiteMatching.run(be).orderBy("r")
     }),
+    "max_match" -> ((s, dir) => {
+      // contested sparse bipartite graph (ids folded mod primes + a ~2%
+      // deterministic edge filter) so greedy is NOT already maximum and the
+      // augmenting-path machinery is exercised by the gate
+      val be = Tables.lineitem(s, dir)
+        .where((col("l_orderkey").cast("long") * 7 +
+          col("l_partkey").cast("long") * 13) % 97 < 2)
+        .select((col("l_orderkey") % 157).cast("long").as("r"),
+          (col("l_partkey") % 211).cast("long").as("c")).distinct()
+      MaximumMatching.run(be).orderBy("r", "c")
+    }),
     "auction_match" -> ((s, dir) => {
       val be = Tables.lineitem(s, dir)
         .select(col("l_orderkey").cast("long").as("r"),
@@ -220,6 +231,7 @@ object SparkEntry {
     "sssp" -> GraphOracles.ssspSql(),
     "tdsp" -> GraphOracles.tdspSql(startT = 30000.0),
     "bipartite_match" -> GraphOracles.matchingSql(),
+    "max_match" -> GraphOracles.maxMatchSql(),
     "auction_match" -> GraphOracles.auctionSql(),
     "rcm_order" -> GraphOracles.rcmSql(),
     "mis" -> GraphOracles.misSql(),

@@ -245,6 +245,90 @@ object GraphOracles {
     (head +: steps).mkString(",\n") + s"\nSELECT r, c FROM m$rounds ORDER BY r"
   }
 
+  /** Unrolled Azad-Buluç maximum matching ([[graft.kernels.MaximumMatching]]):
+    * greedy-maximal init (the matchingSql recurrence over the derived
+    * contested bipartite graph), then `phases` rounds of {multi-source
+    * alternating BFS (layers unrolled), level-synchronous augment (steps
+    * unrolled)} with every tiebreak the kernel's pinned min. All values are
+    * integers, so the compare is exact. Padding is a no-op at every level:
+    * a drained fringe/augment frontier propagates empties, and a padded
+    * PHASE re-searches from the residual unmatched columns and finds no
+    * leaf (no augmenting path exists at the fixpoint), leaving the matching
+    * unchanged — so any unroll ≥ the measured depth (3 phases, 4 layers,
+    * 2 augment steps at the gate SFs) compares equal. */
+  def maxMatchSql(phases: Int = 5, layers: Int = 8, augSteps: Int = 5,
+                  greedyRounds: Int = 20): String = {
+    val head =
+      s"""WITH be AS MATERIALIZED (
+         |  SELECT DISTINCT CAST(l_orderkey % 157 AS BIGINT) AS r,
+         |         CAST(l_partkey % 211 AS BIGINT) AS c
+         |  FROM lineitem
+         |  WHERE (CAST(l_orderkey AS BIGINT)*7 + CAST(l_partkey AS BIGINT)*13) % 97 < 2),
+         |allc AS MATERIALIZED (SELECT DISTINCT c FROM be),
+         |gm0 AS (SELECT CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS c WHERE 1=0),
+         |ga0 AS (SELECT * FROM be)""".stripMargin
+    val greedy = (1 to greedyRounds).map { i =>
+      val (ap, mp) = (s"ga${i - 1}", s"gm${i - 1}")
+      s"""gacc$i AS MATERIALIZED (
+         |  SELECT min(r) AS r, c FROM (
+         |    SELECT r, min(c) AS c FROM $ap GROUP BY r) GROUP BY c),
+         |gm$i AS MATERIALIZED (SELECT * FROM $mp UNION ALL SELECT r, c FROM gacc$i),
+         |ga$i AS MATERIALIZED (
+         |  SELECT * FROM $ap
+         |  WHERE r NOT IN (SELECT r FROM gacc$i)
+         |    AND c NOT IN (SELECT c FROM gacc$i))""".stripMargin
+    }
+    val phaseCtes = (1 to phases).flatMap { p =>
+      val m0 = if (p == 1) s"gm$greedyRounds" else s"mm${p - 1}_$augSteps"
+      val search =
+        s"""f${p}_0 AS MATERIALIZED (
+           |  SELECT c, c AS root FROM allc WHERE c NOT IN (SELECT c FROM $m0)),
+           |pa${p}_0 AS (SELECT CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS pc,
+           |             CAST(0 AS BIGINT) AS root WHERE 1=0),
+           |lv${p}_0 AS (SELECT CAST(0 AS BIGINT) AS root, CAST(0 AS BIGINT) AS leaf WHERE 1=0)""".stripMargin +:
+          (1 to layers).map { l =>
+            s"""nr${p}_$l AS MATERIALIZED (
+               |  SELECT r, pc, root FROM (
+               |    SELECT e.r, f.c AS pc, f.root,
+               |           row_number() OVER (PARTITION BY e.r ORDER BY f.c, f.root) AS rn
+               |    FROM be e JOIN f${p}_${l - 1} f ON e.c = f.c
+               |    WHERE e.r NOT IN (SELECT r FROM pa${p}_${l - 1})) WHERE rn = 1),
+               |pa${p}_$l AS MATERIALIZED (
+               |  SELECT * FROM pa${p}_${l - 1} UNION ALL SELECT * FROM nr${p}_$l),
+               |nl${p}_$l AS MATERIALIZED (
+               |  SELECT root, min(r) AS leaf FROM nr${p}_$l
+               |  WHERE r NOT IN (SELECT r FROM $m0)
+               |    AND root NOT IN (SELECT root FROM lv${p}_${l - 1})
+               |  GROUP BY root),
+               |lv${p}_$l AS MATERIALIZED (
+               |  SELECT * FROM lv${p}_${l - 1} UNION ALL SELECT * FROM nl${p}_$l),
+               |f${p}_$l AS MATERIALIZED (
+               |  SELECT m.c AS c, min(nr.root) AS root
+               |  FROM nr${p}_$l nr JOIN $m0 m ON m.r = nr.r
+               |  WHERE nr.root NOT IN (SELECT root FROM lv${p}_$l)
+               |  GROUP BY m.c)""".stripMargin
+          }
+      val augment =
+        s"""ag${p}_0 AS MATERIALIZED (SELECT leaf AS r FROM lv${p}_$layers),
+           |mm${p}_0 AS MATERIALIZED (SELECT * FROM $m0)""".stripMargin +:
+          (1 to augSteps).map { a =>
+            s"""pr${p}_$a AS MATERIALIZED (
+               |  SELECT ag.r, pa.pc FROM ag${p}_${a - 1} ag
+               |  JOIN pa${p}_$layers pa ON pa.r = ag.r),
+               |ag${p}_$a AS MATERIALIZED (
+               |  SELECT m.r FROM pr${p}_$a pr JOIN mm${p}_${a - 1} m ON m.c = pr.pc),
+               |mm${p}_$a AS MATERIALIZED (
+               |  SELECT r, c FROM mm${p}_${a - 1}
+               |  WHERE r NOT IN (SELECT r FROM pr${p}_$a)
+               |    AND c NOT IN (SELECT pc FROM pr${p}_$a)
+               |  UNION ALL SELECT r, pc AS c FROM pr${p}_$a)""".stripMargin
+          }
+      search ++ augment
+    }
+    ((head +: greedy) ++ phaseCtes).mkString(",\n") +
+      s"\nSELECT r, c FROM mm${phases}_$augSteps ORDER BY r, c"
+  }
+
   /** Cuthill-McKee level-set ordering, reversed: BFS levels from the
     * George-Liu pseudo-peripheral root (double sweep — BFS from the
     * (degree, id)-min vertex, then restart from the farthest vertex with
