@@ -112,6 +112,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("nnz"), sum(col("w")).cast("long").as("total"))
         .orderBy("v")
     }),
+    "galerkin" -> ((s, dir) => {
+      // aggregation restriction: coarse vertex = fine div 8
+      val rS = LinkGraph.vertices(s, dir)
+        .select(expr("v div 8").as("src"), col("v").as("dst"),
+          lit(1.0).as("w"))
+      MatrixOps.galerkin(rS, LinkGraph.weightedEdges(s, dir), PlusTimes)
+        .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+        .orderBy("src", "dst")
+    }),
     "ewise_mask" -> ((s, dir) => {
       val e = LinkGraph.edges(s, dir)
       val a2 = MatrixOps.spgemm(e, e, PlusTimes).select("src", "dst")
@@ -242,6 +251,7 @@ object SparkEntry {
     "spmv_plustimes" -> OpOracles.spmvPlusTimesSql,
     "spmv_minplus" -> OpOracles.spmvMinPlusSql,
     "spgemm_rowstats" -> OpOracles.spgemmRowStatsSql,
+    "galerkin" -> OpOracles.galerkinSql,
     "ewise_mask" -> OpOracles.ewiseMaskSql,
     "prune_split" -> OpOracles.pruneSplitSql,
     "dict_parts" -> OpOracles.dictPartsSql,

@@ -75,6 +75,16 @@ object MatrixOps {
       .agg(sr.add(sr.multiply(col("aw"), col("bw"))).as("w"))
   }
 
+  /** Galerkin triple product S·A·Sᵀ — the multigrid restriction benchmark
+    * (reference ReleaseTests/Galerkin.cpp:54-140, which times both
+    * association orders of the same two Mult_AnXBn calls). Left-evaluated
+    * ((S·A)·Sᵀ) here; association invariance over (+,*) is spec-tested.
+    * When S aggregates disjoint fine vertices (0/1 rows), Catalyst plans
+    * this as two keyed joins with map-side-combined sums — no densification,
+    * scale-safe. */
+  def galerkin(s: DataFrame, a: DataFrame, sr: ColumnSemiring): DataFrame =
+    spgemm(spgemm(s, a, sr), transpose(s), sr)
+
   /** Scale each edge by a per-src (dim=row) or per-dst (dim=col) vector —
     * reference DimApply, SpParMat.cpp:801-887 (PageRank normalize /
     * MakeColStochastic). Broadcast-joins the vector when small. */

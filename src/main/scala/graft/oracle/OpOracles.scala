@@ -50,6 +50,15 @@ object OpOracles {
       |      GROUP BY e1.src, e2.dst)
       |GROUP BY i ORDER BY v""".stripMargin)
 
+  /** S·A·Sᵀ with indicator restriction rows collapses to a coarse-pair
+    * group-sum — an independent derivation of the spgemm composition.
+    * Sums of integral doubles < 2^53 are exact, so the BIGINT cast is
+    * engine-neutral. */
+  def galerkinSql: String = withBoth(
+    """SELECT (src // 8) AS src, (dst // 8) AS dst,
+      |       CAST(sum(w) AS BIGINT) AS w
+      |FROM wedges GROUP BY 1, 2 ORDER BY src, dst""".stripMargin)
+
   def ewiseMaskSql: String = withBoth(
     """, a2 AS MATERIALIZED (SELECT DISTINCT e1.src AS i, e2.dst AS j
       |                      FROM edges e1 JOIN edges e2 ON e1.dst = e2.src)

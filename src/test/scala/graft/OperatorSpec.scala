@@ -92,6 +92,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(typed.nonEmpty)
   }
 
+  test("galerkin triple product: association-invariant, equals coarse group-sum") {
+    import graft.operators.MatrixOps
+    import graft.linalg.PlusTimes
+    val rnd = new scala.util.Random(11L)
+    val a = m((1 to 150).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong,
+        (rnd.nextInt(5) + 1).toDouble)).distinct: _*)
+    val sR = (0L until 40L).toDF("v")
+      .select(expr("v div 8").as("src"), col("v").as("dst"), lit(1.0).as("w"))
+    def collectG(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val left = collectG(MatrixOps.galerkin(sR, a, PlusTimes))
+    // right-evaluated S·(A·Sᵀ) — Galerkin.cpp's other timed order
+    val right = collectG(MatrixOps.spgemm(sR,
+      MatrixOps.spgemm(a, MatrixOps.transpose(sR), PlusTimes), PlusTimes))
+    assert(left == right, "association orders differ")
+    val direct = collectG(a.groupBy(expr("src div 8").as("src"),
+        expr("dst div 8").as("dst"))
+      .agg(sum("w").as("w")).select("src", "dst", "w"))
+    assert(left == direct, "triple product differs from coarse group-sum")
+  }
+
   test("RMAT generator: deterministic, parallelism-invariant, hub-skewed") {
     val a = RMat.edges(spark, scale = 8, edgeFactor = 8, seed = 1L)
     val b = RMat.edges(spark, scale = 8, edgeFactor = 8, seed = 1L).repartition(13)
