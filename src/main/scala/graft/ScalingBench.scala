@@ -216,7 +216,7 @@ object ScalingBench {
       graft.kernels.PageRankArray.run(edges, verts, iters = 1).count() // warmup
       val t0 = System.nanoTime()
       val blocks = graft.kernels.BlockBuild.csrValBlocks(edgesNorm, bs,
-          Seq(col("rb"), pmod(col("cb"), lit(8))))
+          Seq(col("rb"), pmod(col("cb"), lit(2))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       blocks.count()
       val t1 = System.nanoTime()

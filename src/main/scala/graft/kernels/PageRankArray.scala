@@ -13,13 +13,15 @@ import org.apache.spark.storage.StorageLevel
   *
   * Per iteration: broadcast the rank array, ONE job scans the persisted
   * value-carrying CSR blocks (w = 1/outdeg folded in at build, so the
-  * matrix is column-stochastic over non-dangling sources) and emits
-  * per-rowBlock partial contribution segments; the driver assembles
-  * y = Aᵀx, recovers the dangling mass as Σx − Σy (each non-dangling
-  * column sums to 1 — [[PageRankBlocked]]'s identity), and applies the
-  * teleport formula in a flat array pass. No per-iteration shuffle at
-  * all — the 2 keyed exchanges of the relational path become one 256 MB
-  * in-process collect.
+  * matrix is column-stochastic over non-dangling sources), emits
+  * per-rowBlock partial contribution segments, and merges them per
+  * rowBlock on executors (one small keyed shuffle of dense segments —
+  * parallel, pid-sort-deterministic); the driver collects only the merged
+  * |V|-doubles y = Aᵀx, recovers the dangling mass as Σx − Σy (each
+  * non-dangling column sums to 1 — [[PageRankBlocked]]'s identity), and
+  * applies the teleport formula in a flat array pass. The relational
+  * path's 2 keyed per-edge exchanges become one per-segment exchange plus
+  * a 32 MB collect.
   *
   * Determinism: per-row columns are sorted at build
   * ([[BlockBuild.csrValBlocks]]), blocks emit in (rb, cb) order, and the
@@ -37,12 +39,23 @@ import org.apache.spark.storage.StorageLevel
   */
 object PageRankArray {
 
+  /** Id spaces up to this merge partial segments on the driver (the whole
+    * partial set is a few MB — an executor-side merge stage is pure
+    * scheduling overhead there, measured +1.4 s over 10 iterations at
+    * sf0.1); above it the per-rowBlock merge runs in parallel on
+    * executors and only the merged |V| doubles are collected. */
+  val DriverMergeMax: Int = 1 << 20
+
   /** @param edges (src, dst); @param vertices (v) — dense ids ≤ maxId
+    * @param colSplits column sub-splits per rowBlock: build-time balance
+    *        vs per-iteration segment-shuffle volume (= colSplits × |V|
+    *        doubles — 2 measured best at scale-22: 64 MB/iter vs 8-split's
+    *        256 MB for identical build time)
     * @return (vid, pr) UNROUNDED, one row per vertex (differential specs
     *         compare against [[PageRank.runExact]] at 1e-9) */
   def run(edges: DataFrame, vertices: DataFrame, iters: Int = 10,
           d: Double = 0.85, blockSize: Int = 65536,
-          colSplits: Int = 8): DataFrame = {
+          colSplits: Int = 2): DataFrame = {
     val spark = edges.sparkSession
     val maxId = math.max(
       vertices.agg(coalesce(max(col("v")), lit(-1L))).first().getLong(0),
@@ -86,7 +99,15 @@ object PageRankArray {
 
     for (_ <- 1 to iters) {
       val bcX = sc.broadcast(pr)
-      val segs = blocks.mapPartitionsWithIndex { (pid, iter) =>
+      // Stage 1: per-partition partial contribution segments, keyed by
+      // rowBlock. Stage 2: merge the partials per rowBlock IN PARALLEL on
+      // executors (the old driver-side merge of all partitions × rowBlocks
+      // segments — ~256 MB at scale-22 — was the measured serial term that
+      // capped the 2→8-core pair efficiency at 0.28; only the merged
+      // |V|-doubles vector is collected now). Adding pid-sorted keeps the
+      // FP order identical to the former (rb, pid)-sorted driver merge, so
+      // results are bit-unchanged for a fixed partition count.
+      val partials = blocks.mapPartitionsWithIndex { (pid, iter) =>
         val x = bcX.value
         val perRb = collection.mutable.LinkedHashMap[Int, Array[Double]]()
         iter.foreach { blk =>
@@ -107,13 +128,36 @@ object PageRankArray {
             r += 1
           }
         }
-        perRb.iterator.map { case (rb, seg) => (rb, pid, seg) }
-      }.collect()
+        perRb.iterator.map { case (rb, seg) => (rb, (pid, seg)) }
+      }
+      // Below DriverMergeMax the whole partial set is a few MB — collect
+      // and merge in-process, skipping a shuffle stage of pure overhead.
+      // Above it, merge per rowBlock on executors. Both add pid-sorted,
+      // so the FP order — and hence the result — is identical.
+      val segs =
+        if (nIds <= DriverMergeMax)
+          partials.collect().groupBy(_._1).toArray.map { case (rb, parts) =>
+            val acc = new Array[Double](bs)
+            parts.sortBy(_._2._1).foreach { case (_, (_, seg)) =>
+              var r = 0
+              while (r < bs) { acc(r) += seg(r); r += 1 }
+            }
+            (rb, acc)
+          }
+        else
+          partials.groupByKey()
+            .map { case (rb, parts) =>
+              val acc = new Array[Double](bs)
+              parts.toArray.sortBy(_._1).foreach { case (_, seg) =>
+                var r = 0
+                while (r < bs) { acc(r) += seg(r); r += 1 }
+              }
+              (rb, acc)
+            }.collect()
       bcX.destroy()
 
       val y = new Array[Double](nIds)
-      // fixed merge order -> deterministic FP for a fixed partition count
-      segs.sortBy(s => (s._1, s._2)).foreach { case (rb, _, seg) =>
+      segs.foreach { case (rb, seg) =>
         val rbase = rb * bs
         val rMax = math.min(bs, nIds - rbase)
         var r = 0
