@@ -77,6 +77,19 @@ object SparkEntry {
           (col("l_partkey") % 211).cast("long").as("c")).distinct()
       MaximumMatching.run(be).orderBy("r", "c")
     }),
+    "cycle_match" -> ((s, dir) => {
+      // denser contested graph than max_match (mods 61/67) so closing
+      // edges exist and the 4-cycle exchange actually fires at sf0.01
+      val be = Tables.lineitem(s, dir)
+        .where((col("l_orderkey").cast("long") * 7 +
+          col("l_partkey").cast("long") * 13) % 97 < 2)
+        .select((col("l_orderkey") % 61).cast("long").as("r"),
+          (col("l_partkey") % 67).cast("long").as("c")).distinct()
+        .withColumn("w",
+          ((col("r") * 31 + col("c") * 17) % 100 + 1).cast("double"))
+      val init = BipartiteMatching.run(be.select("r", "c"))
+      WeightedCycleMatching.run(be, init).orderBy("r", "c")
+    }),
     "auction_match" -> ((s, dir) => {
       val be = Tables.lineitem(s, dir)
         .select(col("l_orderkey").cast("long").as("r"),
@@ -241,6 +254,7 @@ object SparkEntry {
     "tdsp" -> GraphOracles.tdspSql(startT = 30000.0),
     "bipartite_match" -> GraphOracles.matchingSql(),
     "max_match" -> GraphOracles.maxMatchSql(),
+    "cycle_match" -> GraphOracles.cycleMatchSql(),
     "auction_match" -> GraphOracles.auctionSql(),
     "rcm_order" -> GraphOracles.rcmSql(),
     "mis" -> GraphOracles.misSql(),

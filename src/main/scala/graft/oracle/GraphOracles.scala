@@ -329,6 +329,72 @@ object GraphOracles {
       s"\nSELECT r, c FROM mm${phases}_$augSteps ORDER BY r, c"
   }
 
+  /** Unrolled weight-increasing 4-cycle exchange
+    * ([[graft.kernels.WeightedCycleMatching]], the AWPM family): greedy
+    * init over a dense-enough contested graph, then `rounds` rounds of
+    * {candidate cycles (closing-edge join) → per-column arg-max over both
+    * roles → win-both handshake → apply}. Weights are integral doubles
+    * derived from ids, so gains and comparisons are exact; rounds past the
+    * fixpoint find no positive-gain cycle and are no-ops, so any unroll ≥
+    * the measured depth (6 at sf0.1, 2 at sf0.01) compares equal — 10
+    * mirrors the reference's own iteration cap. */
+  def cycleMatchSql(rounds: Int = 10, greedyRounds: Int = 20): String = {
+    val head =
+      s"""WITH be AS MATERIALIZED (
+         |  SELECT r, c, CAST((r*31 + c*17) % 100 + 1 AS DOUBLE) AS w FROM (
+         |    SELECT DISTINCT CAST(l_orderkey % 61 AS BIGINT) AS r,
+         |           CAST(l_partkey % 67 AS BIGINT) AS c
+         |    FROM lineitem
+         |    WHERE (CAST(l_orderkey AS BIGINT)*7 + CAST(l_partkey AS BIGINT)*13) % 97 < 2)),
+         |m0g AS (SELECT CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS c WHERE 1=0),
+         |a0g AS (SELECT r, c FROM be)""".stripMargin
+    val greedy = (1 to greedyRounds).map { i =>
+      val (ap, mp) = (s"a${i - 1}g", s"m${i - 1}g")
+      s"""acc${i}g AS MATERIALIZED (
+         |  SELECT min(r) AS r, c FROM (
+         |    SELECT r, min(c) AS c FROM $ap GROUP BY r) GROUP BY c),
+         |m${i}g AS MATERIALIZED (SELECT * FROM $mp UNION ALL SELECT r, c FROM acc${i}g),
+         |a${i}g AS MATERIALIZED (
+         |  SELECT * FROM $ap
+         |  WHERE r NOT IN (SELECT r FROM acc${i}g)
+         |    AND c NOT IN (SELECT c FROM acc${i}g))""".stripMargin
+    }
+    val cycles = (0 until rounds).map { k =>
+      val m = if (k == 0) s"m${greedyRounds}g" else s"cm$k"
+      s"""mw$k AS MATERIALIZED (
+         |  SELECT m.r, m.c, e.w FROM $m m JOIN be e ON e.r = m.r AND e.c = m.c),
+         |cand$k AS MATERIALIZED (
+         |  SELECT e.r AS i, e.c AS j, mr.c AS ji, mc.r AS mj,
+         |         e.w + e2.w - mr.w - mc.w AS gain
+         |  FROM be e
+         |  JOIN mw$k mr ON mr.r = e.r
+         |  JOIN mw$k mc ON mc.c = e.c
+         |  JOIN be e2 ON e2.r = mc.r AND e2.c = mr.c
+         |  WHERE e.c <> mr.c AND e.w + e2.w - mr.w - mc.w > 0),
+         |best$k AS MATERIALIZED (
+         |  SELECT i, j, ji, mj FROM (
+         |    SELECT i, j, ji, mj,
+         |           row_number() OVER (PARTITION BY colKey
+         |                              ORDER BY gain DESC, i, j) AS rn
+         |    FROM (SELECT j AS colKey, i, j, ji, mj, gain FROM cand$k
+         |          UNION ALL
+         |          SELECT ji AS colKey, i, j, ji, mj, gain FROM cand$k))
+         |  WHERE rn = 1),
+         |win$k AS MATERIALIZED (
+         |  SELECT i, j, ji, mj FROM best$k GROUP BY i, j, ji, mj
+         |  HAVING count(*) = 2),
+         |cm${k + 1} AS MATERIALIZED (
+         |  SELECT r, c FROM $m mm
+         |  WHERE NOT EXISTS (SELECT 1 FROM win$k w
+         |                    WHERE (w.i = mm.r AND w.ji = mm.c)
+         |                       OR (w.mj = mm.r AND w.j = mm.c))
+         |  UNION ALL SELECT i AS r, j AS c FROM win$k
+         |  UNION ALL SELECT mj AS r, ji AS c FROM win$k)""".stripMargin
+    }
+    ((head +: greedy) ++ cycles).mkString(",\n") +
+      s"\nSELECT r, c FROM cm$rounds ORDER BY r, c"
+  }
+
   /** Cuthill-McKee level-set ordering, reversed: BFS levels from the
     * George-Liu pseudo-peripheral root (double sweep — BFS from the
     * (degree, id)-min vertex, then restart from the farthest vertex with
