@@ -58,6 +58,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == streamed)
   }
 
+  test("streaming dedup ledger converges to batch exact() under any batching") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DedupStreams
+    // 9 docs, 4 distinct texts, delivered in 3 shuffled micro-batches
+    val docs = Seq(
+      (7L, "alpha"), (2L, "beta"), (9L, "alpha"), (1L, "gamma"), (5L, "beta"),
+      (3L, "alpha"), (8L, "delta"), (4L, "gamma"), (6L, "beta"))
+      .map { case (id, t) => DedupStreams.Doc(id, ts(id.toInt), t) }
+    val input = MemoryStream[DedupStreams.Doc]
+    val q = DedupStreams.ledger(input.toDS())
+      .writeStream.format("memory").queryName("ledger").outputMode("update").start()
+    docs.grouped(3).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // converged ledger row per fingerprint: rep is monotone non-increasing
+    // and the count strictly increases per update, so min/max pick it
+    val streamed = spark.table("ledger")
+      .groupBy("fp").agg(min("rep_doc_id").as("rep_doc_id"),
+        max("n_docs").as("n_docs"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.dedup.Dedup.exact(
+        docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, "ledger fixpoint differs from batch exact()")
+  }
+
+  test("streaming first-seen dedup keeps one row per fingerprint") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DedupStreams
+    val input = MemoryStream[DedupStreams.Doc]
+    // in-order arrival: first-seen == min doc_id == batch representative
+    val docs = (1 to 8).map(i =>
+      DedupStreams.Doc(i.toLong, ts(i), if (i % 3 == 0) "dup" else s"t$i"))
+    val q = DedupStreams.firstSeen(input.toDF())
+      .writeStream.format("memory").queryName("firstseen").outputMode("append").start()
+    input.addData(docs: _*); q.processAllAvailable(); q.stop()
+    val got = spark.table("firstseen").select("fp", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.map(_._1).distinct.length == got.length, "fingerprint emitted twice")
+    val batch = graft.dedup.Dedup.exact(
+        docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.toMap == batch, "first-seen differs from batch min-id reps")
+  }
+
   test("media: real PNG/WAV/BMP header decode + feature plumbing") {
     val items = graft.media.Media.payloads(spark, 200)
     val meta = graft.media.Media.decodeMeta(items)
