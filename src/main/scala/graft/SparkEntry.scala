@@ -46,6 +46,14 @@ object SparkEntry {
       val root = verts.agg(min(col("v"))).first().getLong(0)
       BFS.levels(LinkGraph.edges(s, dir), root).orderBy("vid")
     }),
+    "filtered_bfs" -> ((s, dir) => {
+      // FilteredBFS semantics: the edge predicate applies on the fly —
+      // Catalyst pushes it beneath the per-level SpMSpV join
+      val fe = LinkGraph.weightedEdges(s, dir).where(col("w") >= 2)
+        .select("src", "dst")
+      val root = LinkGraph.vertices(s, dir).agg(min(col("v"))).first().getLong(0)
+      BFS.levels(fe, root).orderBy("vid")
+    }),
     "bfs_parents" -> ((s, dir) => {
       val verts = LinkGraph.vertices(s, dir)
       val root = verts.agg(min(col("v"))).first().getLong(0)
@@ -250,6 +258,7 @@ object SparkEntry {
     "tricnt" -> GraphOracles.trianglesSql,
     "bfs_levels" -> GraphOracles.bfsSql(),
     "bfs_parents" -> GraphOracles.bfsParentsSql(),
+    "filtered_bfs" -> GraphOracles.filteredBfsSql(),
     "sssp" -> GraphOracles.ssspSql(),
     "tdsp" -> GraphOracles.tdspSql(startT = 30000.0),
     "bipartite_match" -> GraphOracles.matchingSql(),

@@ -538,6 +538,24 @@ object GraphOracles {
       s"\nSELECT v AS vid, parent, dist FROM (\n  $unionAll) t ORDER BY vid"
   }
 
+  /** BFS over the predicate-filtered edge set (reference FilteredBFS.cpp:
+    * the traversal applies the edge filter on the fly; in Spark the same
+    * composition pushes the predicate beneath the SpMSpV join — no
+    * filtered matrix is materialized in either engine). */
+  def filteredBfsSql(minW: Double = 2.0, maxDepth: Int = 10): String =
+    s"""WITH RECURSIVE $edgesCte,
+       |${OpOracles.wedgesCte},
+       |fedges AS MATERIALIZED (
+       |  SELECT src, dst FROM wedges WHERE w >= ${dbl(minW)}),
+       |bfs(v, d) AS (
+       |  SELECT CAST((SELECT min(v) FROM verts) AS BIGINT), 0
+       |  UNION
+       |  SELECT e.dst, b.d + 1 FROM bfs b JOIN fedges e ON e.src = b.v
+       |  WHERE b.d < $maxDepth
+       |)
+       |SELECT v AS vid, CAST(min(d) AS BIGINT) AS dist
+       |FROM bfs GROUP BY v ORDER BY vid""".stripMargin
+
   def bfsSql(maxDepth: Int = 10): String =
     s"""WITH RECURSIVE $edgesCte,
        |bfs(v, d) AS (
