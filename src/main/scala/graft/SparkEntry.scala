@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.graph.{Dictionary, LinkGraph}
 import graft.kernels._
-import graft.linalg.{MinPlus, PlusTimes, SpMV}
+import graft.linalg.{BoolOrAnd, MinPlus, PlusTimes, SpMV}
 import graft.operators.{MatrixOps, VectorOps}
 import graft.oracle.{GraphOracles, MediaOracles, OpOracles, TextOracles}
 
@@ -132,6 +132,13 @@ object SparkEntry {
         .groupBy(col("src").as("v"))
         .agg(count(lit(1)).as("nnz"), sum(col("w")).cast("long").as("total"))
         .orderBy("v")
+    }),
+    "bool_spgemm" -> ((s, dir) => {
+      // KTips-style boolean reachability product: A ⊗ A over (∨,∧) =
+      // the 2-step-reachable pair set
+      val e = LinkGraph.edges(s, dir).withColumn("w", lit(true))
+      MatrixOps.spgemm(e, e, BoolOrAnd)
+        .where(col("w")).select("src", "dst").orderBy("src", "dst")
     }),
     "galerkin" -> ((s, dir) => {
       // aggregation restriction: coarse vertex = fine div 8
@@ -275,6 +282,7 @@ object SparkEntry {
     "spmv_minplus" -> OpOracles.spmvMinPlusSql,
     "spgemm_rowstats" -> OpOracles.spgemmRowStatsSql,
     "galerkin" -> OpOracles.galerkinSql,
+    "bool_spgemm" -> OpOracles.boolSpgemmSql,
     "ewise_mask" -> OpOracles.ewiseMaskSql,
     "prune_split" -> OpOracles.pruneSplitSql,
     "dict_parts" -> OpOracles.dictPartsSql,

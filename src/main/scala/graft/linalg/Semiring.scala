@@ -59,3 +59,14 @@ object Select2ndPlus extends ColumnSemiring {
   def multiply(w: Column, x: Column): Column = x
   def add(c: Column): Column = sum(c)
 }
+
+/** (∨, ∧) — boolean reachability SpGEMM; the tip-removal iteration's
+  * semiring (reference ReleaseTests/KTipsTest.cpp:12-18 KTipsSR:
+  * add = logical or, multiply = logical and) and the general BoolCopy
+  * pattern. `max` over booleans IS logical-or (true > false), keeping the
+  * aggregate hash-based and map-side combinable. */
+object BoolOrAnd extends ColumnSemiring {
+  val name = "bool_or_and"
+  def multiply(w: Column, x: Column): Column = w && x
+  def add(c: Column): Column = max(c)
+}

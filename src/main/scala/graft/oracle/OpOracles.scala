@@ -59,6 +59,13 @@ object OpOracles {
       |       CAST(sum(w) AS BIGINT) AS w
       |FROM wedges GROUP BY 1, 2 ORDER BY src, dst""".stripMargin)
 
+  /** Boolean (∨,∧) SpGEMM A⊗A = the distinct 2-step-reachable pair set. */
+  def boolSpgemmSql: String =
+    s"""WITH RECURSIVE ${GraphOracles.edgesCte}
+       |SELECT DISTINCT e1.src AS src, e2.dst AS dst
+       |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+       |ORDER BY src, dst""".stripMargin
+
   def ewiseMaskSql: String = withBoth(
     """, a2 AS MATERIALIZED (SELECT DISTINCT e1.src AS i, e2.dst AS j
       |                      FROM edges e1 JOIN edges e2 ON e1.dst = e2.src)
