@@ -46,6 +46,12 @@ object SparkEntry {
       val root = verts.agg(min(col("v"))).first().getLong(0)
       BFS.levels(LinkGraph.edges(s, dir), root).orderBy("vid")
     }),
+    "bfs_parents_rand" -> ((s, dir) => {
+      val verts = LinkGraph.vertices(s, dir)
+      val root = verts.agg(min(col("v"))).first().getLong(0)
+      BFS.parents(LinkGraph.edges(s, dir), root, seed = Some(42L))
+        .orderBy("vid")
+    }),
     "filtered_bfs" -> ((s, dir) => {
       // FilteredBFS semantics: the edge predicate applies on the fly —
       // Catalyst pushes it beneath the per-level SpMSpV join
@@ -266,6 +272,7 @@ object SparkEntry {
     "bfs_levels" -> GraphOracles.bfsSql(),
     "bfs_parents" -> GraphOracles.bfsParentsSql(),
     "filtered_bfs" -> GraphOracles.filteredBfsSql(),
+    "bfs_parents_rand" -> GraphOracles.bfsParentsRandSql(42L),
     "sssp" -> GraphOracles.ssspSql(),
     "tdsp" -> GraphOracles.tdspSql(startT = 30000.0),
     "bipartite_match" -> GraphOracles.matchingSql(),

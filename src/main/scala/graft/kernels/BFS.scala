@@ -138,10 +138,17 @@ object BFS {
     * Same direction-optimizing loop as [[levels]]; the only difference is
     * the fringe aggregate carries min(src) instead of a distinct.
     *
+    * With `seed = Some(s)` the parent pick becomes the reference's
+    * RandomParentBFS (Applications/RandomParentBFS.cpp randomly selects
+    * among discoverers): argmin of md5(s:src) — a seeded shuffle of the
+    * candidate order that is engine-replayable (same md5 trick as MIS
+    * priorities), while every Graph500 validator check still holds for
+    * the resulting tree.
+    *
     * @return (vid, parent, dist) for reached vertices */
   def parents(edges: DataFrame, root: Long, maxDepth: Int = 10,
               broadcastMax: Long = BroadcastMax,
-              alpha: Double = 2.0): DataFrame = {
+              alpha: Double = 2.0, seed: Option[Long] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val cp = new graft.util.Checkpoints(spark)
@@ -170,8 +177,14 @@ object BFS {
                    else fsrc.hint("shuffle_hash")
           e.join(fx, Seq("src"))
         }
+      val parentAgg = seed match {
+        case Some(s) =>
+          min(struct(md5(concat_ws(":", lit(s), col("src"))).as("pri"),
+            col("src"))).getField("src").as("parent")
+        case None => min(col("src")).as("parent")
+      }
       val next = cp(candidates
-        .groupBy(col("dst").as("v")).agg(min(col("src")).as("parent"))
+        .groupBy(col("dst").as("v")).agg(parentAgg)
         .join(visited.select("v"), Seq("v"), "left_anti")
         .withColumn("dist", lit(depth.toLong)))
       frontierSize = next.count()

@@ -538,6 +538,38 @@ object GraphOracles {
       s"\nSELECT v AS vid, parent, dist FROM (\n  $unionAll) t ORDER BY vid"
   }
 
+  /** Seeded random-parent BFS ([[graft.kernels.BFS.parents]] with a seed —
+    * the RandomParentBFS analog): per level each newly reached vertex
+    * takes the discoverer with minimal md5(seed:src), exactly the kernel's
+    * struct-min; md5 hex is engine-identical so the pick is hash-exact. */
+  def bfsParentsRandSql(seed: Long, levels: Int = 10): String = {
+    val head =
+      s"""WITH $edgesCte,
+         |f0 AS MATERIALIZED (
+         |  SELECT CAST((SELECT min(v) FROM verts) AS BIGINT) AS v,
+         |         CAST((SELECT min(v) FROM verts) AS BIGINT) AS parent,
+         |         CAST(0 AS BIGINT) AS dist),
+         |vis0 AS (SELECT v FROM f0)""".stripMargin
+    val steps = (1 to levels).map { l =>
+      s"""f$l AS MATERIALIZED (
+         |  SELECT v, parent, dist FROM (
+         |    SELECT e.dst AS v, CAST(e.src AS BIGINT) AS parent,
+         |           CAST($l AS BIGINT) AS dist,
+         |           row_number() OVER (PARTITION BY e.dst
+         |             ORDER BY md5('$seed:' || CAST(e.src AS VARCHAR)), e.src) AS rn
+         |    FROM f${l - 1} f JOIN edges e ON e.src = f.v
+         |    LEFT JOIN vis${l - 1} x ON x.v = e.dst
+         |    WHERE x.v IS NULL)
+         |  WHERE rn = 1),
+         |vis$l AS MATERIALIZED (
+         |  SELECT v FROM vis${l - 1} UNION ALL SELECT v FROM f$l)""".stripMargin
+    }
+    val unionAll = (0 to levels).map(l => s"SELECT v, parent, dist FROM f$l")
+      .mkString("\n  UNION ALL ")
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT v AS vid, parent, dist FROM (\n  $unionAll) t ORDER BY vid"
+  }
+
   /** BFS over the predicate-filtered edge set (reference FilteredBFS.cpp:
     * the traversal applies the edge filter on the fly; in Spark the same
     * composition pushes the predicate beneath the SpMSpV join — no

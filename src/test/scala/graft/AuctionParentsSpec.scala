@@ -78,6 +78,24 @@ class AuctionParentsSpec extends AnyFunSuite {
     assert(rows(Double.MaxValue) == adaptive)   // bottom-up after level 0
   }
 
+  test("seeded random-parent tree: valid, same dists, differs from min-parent") {
+    val tree = BFS.parents(edges, root, seed = Some(42L))
+    val checks = BFS.validateParents(edges, tree, root).collect()
+    assert(checks.forall(_.getLong(1) == 0L),
+      "violations: " + checks.filter(_.getLong(1) != 0).mkString(", "))
+    val seeded = tree.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val minTree = BFS.parents(edges, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // same reached set and levels, but the seed actually shuffles parents
+    assert(seeded.map(t => t._1 -> t._3).toMap == minTree.map(t => t._1 -> t._3).toMap)
+    assert(seeded.toSet != minTree.toSet, "seed had no effect on parent picks")
+    // direction-forced variants agree (the candidate sets are identical)
+    def rows(alpha: Double) =
+      BFS.parents(edges, root, alpha = alpha, seed = Some(42L)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(0.0) == seeded.toSet && rows(Double.MaxValue) == seeded.toSet)
+  }
+
   test("bfs validator detects a corrupted tree") {
     val s = spark
     import s.implicits._
