@@ -29,6 +29,17 @@ object Triangles {
 
   val BroadcastMaxEdges = 8000000L
 
+  /** Oriented edge lists up to this size use the broadcast-CSR
+    * intersection kernel (fourth array-kernel family member): the sorted
+    * adjacency is broadcast once and each task two-pointer-intersects
+    * N⁺(a) ∩ N⁺(b) per oriented edge — the LocalHybridSpGEMM-style local
+    * kernel without per-wedge row overhead (the relational plan streams
+    * Σ outdeg² wedge ROWS through the mask join; the intersection does the
+    * same arithmetic in primitive arrays). Past the ceiling the relational
+    * SUMMA-shaped plan runs — distributed, nothing driver-resident. */
+  val ArrayMaxEdges: Long =
+    sys.env.getOrElse("SPARK_GRAFT_TRI_ARRAY_MAX", "4000000").toLong
+
   /** @param edges symmetric (src, dst); @return single row (triangles: long) */
   def count(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy(col("src").as("u")).agg(fcount(lit(1)).as("d"))
@@ -40,9 +51,75 @@ object Triangles {
       .select(col("src").as("a"), col("dst").as("b"))
       .persist()
     val nL = l.count()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val n =
+      if (nL <= ArrayMaxEdges) countByIntersection(l, nL)
+      else countRelational(l, nL)
+    l.unpersist(false)
+    Seq(n).toDF("triangles")
+  }
+
+  /** Broadcast sorted-CSR adjacency; one distributed pass over the
+    * oriented edges, two-pointer intersection per edge. Exact integer
+    * count — identical to the relational path by construction (same
+    * oriented graph, same closed-wedge set). */
+  private[graft] def countByIntersection(l: DataFrame, nL: Long): Long = {
+    val spark = l.sparkSession
+    import spark.implicits._
+    val pairs = l.select("a", "b").as[(Long, Long)].collect()
+    java.util.Arrays.sort(pairs, Ordering.Tuple2[Long, Long])
+    val srcs = new Array[Long](pairs.length)
+    val dsts = new Array[Long](pairs.length)
+    var i = 0
+    while (i < pairs.length) { srcs(i) = pairs(i)._1; dsts(i) = pairs(i)._2; i += 1 }
+    // CSR over the distinct sources (binary-searched at lookup)
+    val nSrc0 = new java.util.ArrayList[Long]()
+    val off0 = new java.util.ArrayList[Int]()
+    i = 0
+    while (i < srcs.length) {
+      if (i == 0 || srcs(i) != srcs(i - 1)) { nSrc0.add(srcs(i)); off0.add(i) }
+      i += 1
+    }
+    off0.add(srcs.length)
+    val srcIds = nSrc0.toArray(new Array[java.lang.Long](0)).map(_.longValue)
+    val offs = off0.toArray(new Array[java.lang.Integer](0)).map(_.intValue)
+    val bc = spark.sparkContext.broadcast((srcIds, offs, dsts))
+    val n = spark.createDataset(0 until srcIds.length)
+      .repartition(math.max(1, math.min(srcIds.length,
+        spark.sparkContext.defaultParallelism * 4)))
+      .mapPartitions { it =>
+        val (ids, off, adj) = bc.value
+        def range(v: Long): (Int, Int) = {
+          val k = java.util.Arrays.binarySearch(ids, v)
+          if (k < 0) (0, 0) else (off(k), off(k + 1))
+        }
+        var acc = 0L
+        it.foreach { si =>
+          val (aLo, aHi) = (off(si), off(si + 1))
+          var e = aLo
+          while (e < aHi) {
+            val (bLo, bHi) = range(adj(e))
+            // |N⁺(a) ∩ N⁺(b)| by two-pointer merge (both sorted)
+            var p = aLo; var q = bLo
+            while (p < aHi && q < bHi) {
+              val x = adj(p); val y = adj(q)
+              if (x == y) { acc += 1; p += 1; q += 1 }
+              else if (x < y) p += 1
+              else q += 1
+            }
+            e += 1
+          }
+        }
+        Iterator(acc)
+      }.reduce(_ + _)
+    bc.destroy()
+    n
+  }
+
+  private[graft] def countRelational(l: DataFrame, nL: Long): Long = {
     def maybeBcast(df: DataFrame): DataFrame =
       if (nL < BroadcastMaxEdges) broadcast(df) else df
-
     val wedges = l.join(
         maybeBcast(l.select(col("a").as("b"), col("b").as("c"))), "b")
       .select(col("a"), col("c"))
@@ -50,10 +127,6 @@ object Triangles {
       maybeBcast(l.select(col("a"), col("b").as("c"))), Seq("a", "c"), "left_semi")
     // Materialize before unpersisting `l` — otherwise the cached oriented
     // edge list leaks executor storage across repeated calls in a session.
-    val n = closed.agg(fcount(lit(1)).as("triangles")).first().getLong(0)
-    l.unpersist(false)
-    val spark = edges.sparkSession
-    import spark.implicits._
-    Seq(n).toDF("triangles")
+    closed.agg(fcount(lit(1)).as("triangles")).first().getLong(0)
   }
 }

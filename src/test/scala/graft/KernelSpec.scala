@@ -65,6 +65,26 @@ class KernelSpec extends AnyFunSuite {
     assert(Triangles.count(undirected(star5)).collect()(0).getLong(0) == 0L)
   }
 
+  test("triangle intersection kernel equals the relational mask plan") {
+    import org.apache.spark.sql.functions._
+    for (seed <- Seq(2L, 11L)) {
+      val pairs = RefKernels.randomGraph(120, 700, seed)
+      val e = undirected(pairs)
+      val deg = e.groupBy(col("src").as("u")).agg(count(lit(1)).as("d"))
+      val l = e
+        .join(deg.select(col("u").as("src"), col("d").as("ds")), "src")
+        .join(deg.select(col("u").as("dst"), col("d").as("dd")), "dst")
+        .where(col("ds") < col("dd") ||
+          (col("ds") === col("dd") && col("src") < col("dst")))
+        .select(col("src").as("a"), col("dst").as("b")).persist()
+      val nL = l.count()
+      val arr = Triangles.countByIntersection(l, nL)
+      val rel = Triangles.countRelational(l, nL)
+      l.unpersist(false)
+      assert(arr == rel, s"seed=$seed: intersection $arr vs relational $rel")
+    }
+  }
+
   test("cc finds two components on sevenvertex with min-id labels") {
     val cc = ConnectedComponents.run(undirected(seven), verticesOf(seven))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
