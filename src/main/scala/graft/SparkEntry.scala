@@ -177,6 +177,24 @@ object SparkEntry {
         .select("p_partkey", "rank").orderBy("p_partkey")),
     "text_tokens" -> ((s, dir) =>
       text.TextOps.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")),
+    "corpus_clean" -> ((s, dir) => {
+      // the C4-style cleaning composition: language-ID → quality filter →
+      // exact dedup (rep = min doc_id among survivors) → per-language stats
+      val docs = Tables.documents(s, dir)
+      val okDocs = text.TextOps.quality(docs)
+        .where(col("quality") === "ok").select("doc_id")
+      val enDocs = text.TextOps.langId(docs)
+        .where(col("predicted_lang") === "en").select("doc_id")
+      val filtered = docs.join(okDocs, "doc_id").join(enDocs, "doc_id")
+      val reps = filtered.groupBy(md5(col("text")).as("fp"))
+        .agg(min("doc_id").as("doc_id"))
+      filtered.join(reps.select("doc_id"), "doc_id")
+        .groupBy(col("lang").as("declared_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(text.TextOps.tokens(col("text"))).cast("long")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .orderBy("declared_lang")
+    }),
     "text_quality" -> ((s, dir) =>
       text.TextOps.quality(Tables.documents(s, dir)).orderBy("doc_id")),
     "text_langid" -> ((s, dir) =>
@@ -295,6 +313,7 @@ object SparkEntry {
     "dict_parts" -> OpOracles.dictPartsSql,
     "sort_perm" -> OpOracles.sortPermSql,
     "text_tokens" -> TextOracles.textTokensSql,
+    "corpus_clean" -> TextOracles.corpusCleanSql,
     "text_quality" -> TextOracles.textQualitySql,
     "text_langid" -> TextOracles.textLangIdSql,
     "text_fingerprint" -> TextOracles.fingerprintSql,

@@ -45,6 +45,31 @@ object TextOracles {
   def fingerprintSql: String =
     "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
 
+  /** The corpus-cleaning composition: predicted-en + quality-ok filters,
+    * exact dedup among survivors, per-declared-lang stats. Mirrors
+    * `quality`/`langId` thresholds term for term (ok ⟺ ¬short ∧
+    * ¬low_stop; en ⟺ stop_ratio ≥ 0.02); counts/sums of BIGINTs are
+    * exact. */
+  def corpusCleanSql: String =
+    """WITH flt AS MATERIALIZED (
+      |  SELECT doc_id, text, lang AS declared_lang,
+      |         CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS BIGINT) AS n_stop,
+      |         CAST(length(text) AS BIGINT) AS n_chars
+      |  FROM documents),
+      |kept AS MATERIALIZED (
+      |  SELECT * FROM flt
+      |  WHERE NOT (n_tokens < 20)
+      |    AND NOT (CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) < CAST('0.01' AS DOUBLE))
+      |    AND CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) >= CAST('0.02' AS DOUBLE)),
+      |reps AS MATERIALIZED (
+      |  SELECT md5(text) AS fp, min(doc_id) AS doc_id FROM kept GROUP BY md5(text))
+      |SELECT declared_lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(sum(n_chars) AS BIGINT) AS n_chars
+      |FROM kept JOIN reps USING (doc_id)
+      |GROUP BY declared_lang ORDER BY declared_lang""".stripMargin
+
   def dedupExactSql: String =
     """SELECT md5(text) AS fp, min(doc_id) AS rep_doc_id, CAST(count(*) AS BIGINT) AS n_docs
       |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin
