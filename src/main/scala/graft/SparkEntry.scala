@@ -219,6 +219,8 @@ object SparkEntry {
       sim.Ann.cosineTopK(Tables.embeddings(s, dir), 20, 5).orderBy("qid", "rank")),
     "embed_norms" -> ((s, dir) =>
       sim.Ann.norms(Tables.embeddings(s, dir)).orderBy("vec_id")),
+    "embed_quantize" -> ((s, dir) =>
+      sim.Ann.quantizeInt8Stats(Tables.embeddings(s, dir)).orderBy("vec_id")),
     "ann_buckets" -> ((s, dir) =>
       sim.Ann.signBuckets(Tables.embeddings(s, dir), 8)
         .groupBy("bucket").agg(count(lit(1)).as("n")).orderBy("bucket")),
@@ -325,6 +327,7 @@ object SparkEntry {
     "dedup_simhash" -> TextOracles.simhashSql,
     "ann_topk" -> TextOracles.annTopKSql(20, 5),
     "embed_norms" -> TextOracles.embedNormsSql,
+    "embed_quantize" -> TextOracles.embedQuantizeSql,
     "ann_buckets" -> TextOracles.annBucketsSql(8),
     "ann_lsh_topk" -> TextOracles.annLshTopKSql(20, 5, 8),
     "ann_multitable" -> TextOracles.annMultiTableSql(20, 5, bits = 8,

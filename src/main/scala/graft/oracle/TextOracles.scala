@@ -271,6 +271,33 @@ object TextOracles {
   def embedNormsSql: String =
     s"WITH $annBase\nSELECT vec_id, norm FROM base ORDER BY vec_id"
 
+  /** Int8 scalar quantization (graft.sim.Ann.quantizeInt8Stats): rounding
+    * is floor(v + 0.5) — IEEE-exact in both engines, unlike round()'s
+    * engine-varying tie rule — so codes, scale, and the integer stats are
+    * hash-exact. */
+  def embedQuantizeSql: String =
+    """WITH ev AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |m AS MATERIALIZED (
+      |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM ev),
+      |s AS MATERIALIZED (
+      |  SELECT vec_id, v,
+      |         CASE WHEN mx = 0 THEN CAST('0' AS DOUBLE)
+      |              ELSE mx/CAST('127' AS DOUBLE) END AS scale
+      |  FROM m),
+      |q AS MATERIALIZED (
+      |  SELECT vec_id, scale,
+      |         list_transform(v, x -> GREATEST(-127, LEAST(127,
+      |           CAST(floor((CASE WHEN scale = 0 THEN CAST('0' AS DOUBLE)
+      |                            ELSE x/scale END) + CAST('0.5' AS DOUBLE)) AS BIGINT)))) AS qs
+      |  FROM s)
+      |SELECT vec_id, scale,
+      |       CAST(list_sum(qs) AS BIGINT) AS q_sum,
+      |       CAST(list_sum(list_transform(qs, x -> abs(x))) AS BIGINT) AS q_abs_sum,
+      |       CAST(len(list_filter(qs, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+      |FROM q ORDER BY vec_id""".stripMargin
+
   def annBucketsSql(bits: Int = 8): String = {
     val bucket = (0 until bits)
       .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)")

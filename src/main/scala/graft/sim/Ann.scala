@@ -27,6 +27,34 @@ object Ann {
   def norms(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), sqrt(dot(dvec(col("embedding")), dvec(col("embedding")))).as("norm"))
 
+  /** Symmetric per-vector int8 scalar quantization — the vector-index prep
+    * step of an embedding pipeline (scale = max|x|/127;
+    * qᵢ = clamp(⌊xᵢ/scale + 0.5⌋, ±127)). Rounding is spelled as
+    * floor(v + 0.5) — floor is IEEE-exact in every engine, unlike round(),
+    * whose tie rule differs across engines — and / and abs/max are exact,
+    * so the codes are engine-identical and the stats variant hash-gates.
+    * @return (vec_id, scale, q: array<int>) */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val v = dvec(col("embedding"))
+    val mx = array_max(transform(v, x => abs(x)))
+    val scale = when(mx === 0.0, lit(0.0)).otherwise(mx / lit(127.0))
+    emb.select(col("vec_id"), scale.as("scale"), v.as("v"))
+      .select(col("vec_id"), col("scale"),
+        transform(col("v"), x =>
+          greatest(lit(-127), least(lit(127),
+            floor(when(col("scale") === 0.0, lit(0.0))
+              .otherwise(x / col("scale")) + lit(0.5)).cast("int")))).as("q"))
+  }
+
+  /** Oracle-friendly projection of [[quantizeInt8]]: integer code sums and
+    * the saturated-element count per vector (exact in any engine). */
+  def quantizeInt8Stats(emb: DataFrame): DataFrame =
+    quantizeInt8(emb).select(
+      col("vec_id"), col("scale"),
+      aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+      aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_abs_sum"),
+      size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
+
   /** Exact cosine top-k neighbors for query vectors (vec_id < nQueries).
     * @return (qid, nid, rank) — cosine kept internal (FP-free output). */
   def cosineTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
