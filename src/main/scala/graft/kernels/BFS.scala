@@ -70,9 +70,15 @@ object BFS {
     val spark = edges.sparkSession
     import spark.implicits._
     if (bitmapMax > 0 && maxDepth <= 127) {
-      val maxId = edges.agg(greatest(max(col("src")), max(col("dst"))))
-        .first().getLong(0)
-      if (root >= 0 && maxId >= BitmapMin && maxId < bitmapMax)
+      // coalesce: an empty edge set (e.g. filtered_bfs with a predicate
+      // that drops every edge) makes greatest(max,max) NULL; min-probe:
+      // negative ids are legal on the relational path but would mis-bucket
+      // in the packed-long block build — both fall through to relational.
+      val ids = edges.agg(
+        coalesce(greatest(max(col("src")), max(col("dst"))), lit(-1L)),
+        coalesce(least(min(col("src")), min(col("dst"))), lit(0L))).first()
+      val maxId = ids.getLong(0); val minId = ids.getLong(1)
+      if (root >= 0 && minId >= 0 && maxId >= BitmapMin && maxId < bitmapMax)
         return BlockBFS.levels(edges, root, maxDepth)
     }
     val cp = new graft.util.Checkpoints(spark)

@@ -32,6 +32,19 @@ case class ValBlock(rowBlock: Int, colBlock: Int,
   */
 object BlockBuild {
 
+  /** The packed-long layout holds block coordinates in 16-bit fields
+    * (< 2^15 blocks per side once the sign bit is excluded). Enforced
+    * INLINE in the packing expression — a small blockSize with a large id
+    * space (or a negative id) raises instead of silently truncating. The
+    * guard is a branch on already-computed integers, so it stays inside
+    * whole-stage codegen at negligible cost (no extra probe job). */
+  private def packedExpr(bs: Int): String =
+    s"CASE WHEN src >= 0 AND dst >= 0 AND src DIV $bs < 32768 AND dst DIV $bs < 32768 " +
+      s"THEN CAST((dst DIV $bs) * ${1L << 48} + (src DIV $bs) * ${1L << 32} + " +
+      s"(dst % $bs) * ${1L << 16} + (src % $bs) AS BIGINT) " +
+      "ELSE CAST(raise_error(CONCAT('BlockBuild capacity: edge (', src, ',', dst, " +
+      s"') needs block coords < 32768 at blockSize $bs and non-negative ids')) AS BIGINT) END"
+
   def csrBlocks(edges: DataFrame, blockSize: Int,
                 keys: Seq[Column]): RDD[AdjBlock] = {
     require(blockSize > 0 && (blockSize & (blockSize - 1)) == 0 &&
@@ -40,8 +53,7 @@ object BlockBuild {
     import spark.implicits._
     val bs = blockSize
     val packed = edges.select(
-      expr(s"CAST((dst DIV $bs) * ${1L << 48} + (src DIV $bs) * ${1L << 32} + " +
-        s"(dst % $bs) * ${1L << 16} + (src % $bs) AS BIGINT)").as("p"),
+      expr(packedExpr(bs)).as("p"),
       expr(s"CAST(dst DIV $bs AS INT)").as("rb"),
       expr(s"CAST(src DIV $bs AS INT)").as("cb"))
       .repartition(keys: _*)
@@ -90,8 +102,7 @@ object BlockBuild {
     import spark.implicits._
     val bs = blockSize
     val packed = edges.select(
-      expr(s"CAST((dst DIV $bs) * ${1L << 48} + (src DIV $bs) * ${1L << 32} + " +
-        s"(dst % $bs) * ${1L << 16} + (src % $bs) AS BIGINT)").as("p"),
+      expr(packedExpr(bs)).as("p"),
       col("w").cast("double").as("w"),
       expr(s"CAST(dst DIV $bs AS INT)").as("rb"),
       expr(s"CAST(src DIV $bs AS INT)").as("cb"))

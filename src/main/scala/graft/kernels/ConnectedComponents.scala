@@ -67,11 +67,17 @@ object ConnectedComponents {
           broadcastMax: Long = BroadcastMax,
           arrayMax: Long = ArrayMax): DataFrame = {
     if (arrayMax > 0) {
-      val maxId = math.max(
-        vertices.agg(coalesce(max(col("v")), lit(-1L))).first().getLong(0),
-        edges.agg(coalesce(greatest(max(col("src")), max(col("dst"))), lit(-1L)))
-          .first().getLong(0))
-      if (maxId >= 0 && maxId + 1 <= arrayMax)
+      // Probe min ids too: negative vertex ids are legal on the relational
+      // FastSV path but would mis-bucket in the packed-long block build —
+      // fall through to relational rather than corrupt.
+      val vr = vertices.agg(coalesce(max(col("v")), lit(-1L)),
+        coalesce(min(col("v")), lit(0L))).first()
+      val er = edges.agg(
+        coalesce(greatest(max(col("src")), max(col("dst"))), lit(-1L)),
+        coalesce(least(min(col("src")), min(col("dst"))), lit(0L))).first()
+      val maxId = math.max(vr.getLong(0), er.getLong(0))
+      val minId = math.min(vr.getLong(1), er.getLong(1))
+      if (minId >= 0 && maxId >= 0 && maxId + 1 <= arrayMax)
         return BlockCC.run(edges, vertices, maxId, maxIters = maxIters)
     }
     fastsv(edges, vertices, maxIters, broadcastMax, None, None)

@@ -57,10 +57,14 @@ object PageRankArray {
           d: Double = 0.85, blockSize: Int = 65536,
           colSplits: Int = 2): DataFrame = {
     val spark = edges.sparkSession
-    val maxId = math.max(
-      vertices.agg(coalesce(max(col("v")), lit(-1L))).first().getLong(0),
-      edges.agg(coalesce(greatest(max(col("src")), max(col("dst"))), lit(-1L)))
-        .first().getLong(0))
+    val vr = vertices.agg(coalesce(max(col("v")), lit(-1L)),
+      coalesce(min(col("v")), lit(0L))).first()
+    val er = edges.agg(
+      coalesce(greatest(max(col("src")), max(col("dst"))), lit(-1L)),
+      coalesce(least(min(col("src")), min(col("dst"))), lit(0L))).first()
+    val maxId = math.max(vr.getLong(0), er.getLong(0))
+    require(math.min(vr.getLong(1), er.getLong(1)) >= 0,
+      "array path requires non-negative ids")
     require(maxId >= 0 && maxId + 1 <= Int.MaxValue.toLong,
       "array path requires V < 2^31")
     val n = vertices.count()

@@ -67,12 +67,28 @@ object Triangles {
   private[graft] def countByIntersection(l: DataFrame, nL: Long): Long = {
     val spark = l.sparkSession
     import spark.implicits._
-    val pairs = l.select("a", "b").as[(Long, Long)].collect()
-    java.util.Arrays.sort(pairs, Ordering.Tuple2[Long, Long])
-    val srcs = new Array[Long](pairs.length)
-    val dsts = new Array[Long](pairs.length)
+    // Sort DISTRIBUTED (range-partitioned orderBy), then collect each
+    // partition as two primitive long arrays: the driver's transient is
+    // 16 B/edge (vs ~64 B/edge of boxed Tuple2 rows fed to a driver
+    // TimSort near the ArrayMaxEdges cutoff), and collect() preserves
+    // partition order so the concatenation is globally (a, b)-sorted.
+    val packed = l.orderBy("a", "b").select("a", "b").as[(Long, Long)].rdd
+      .mapPartitions { it =>
+        val aB = new collection.mutable.ArrayBuilder.ofLong
+        val bB = new collection.mutable.ArrayBuilder.ofLong
+        it.foreach { case (a, b) => aB += a; bB += b }
+        Iterator((aB.result(), bB.result()))
+      }.collect()
+    val total = packed.iterator.map(_._1.length).sum
+    val srcs = new Array[Long](total)
+    val dsts = new Array[Long](total)
+    var off = 0
+    packed.foreach { case (as, bs) =>
+      System.arraycopy(as, 0, srcs, off, as.length)
+      System.arraycopy(bs, 0, dsts, off, bs.length)
+      off += as.length
+    }
     var i = 0
-    while (i < pairs.length) { srcs(i) = pairs(i)._1; dsts(i) = pairs(i)._2; i += 1 }
     // CSR over the distinct sources (binary-searched at lookup)
     val nSrc0 = new java.util.ArrayList[Long]()
     val off0 = new java.util.ArrayList[Int]()

@@ -20,11 +20,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * frame stays materialized for the caller; once the caller drops it the
   * ContextCleaner reclaims that last RDD).
   *
-  * Id attribution diffs the context's persistent-RDD set around the
-  * checkpoint call, so each instance must be used single-threaded (which
-  * every iterative kernel here is — the parallelism lives inside jobs).
+  * Id attribution reads the backing RDD directly off the checkpointed
+  * frame's `LogicalRDD` leaf — exact, so two instances running
+  * concurrently in one SparkContext (parallel queries in a long-lived
+  * session) can never capture each other's ids. [[Checkpoints.scoped]]
+  * still set-diffs (it must sweep frames created by nested kernels), but
+  * filters out ids registered by OTHER threads' instances, so concurrent
+  * graft kernels are safe there too; only a concurrent bare `.persist()`
+  * from a different query could still be swept by a scoped window.
   */
 object Checkpoints {
+  /** rddId → creating thread, for every frame created via
+    * [[Checkpoints.apply]] — lets `scoped`'s sweep skip frames owned by
+    * concurrent instances on other threads. */
+  private val creators = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+  private[util] def register(sc: org.apache.spark.SparkContext, ids: Array[Int]): Unit = {
+    if (creators.size > 4096) { // prune entries whose RDD is long gone
+      val live = sc.getPersistentRDDs.keySet
+      creators.keySet.removeIf(id => !live.contains(id))
+    }
+    val t: java.lang.Long = Thread.currentThread().getId
+    ids.foreach(id => creators.put(id, t))
+  }
+  private[util] def deregister(ids: Array[Int]): Unit =
+    ids.foreach(id => creators.remove(id))
+  private[util] def ownedByOtherThread(id: Int): Boolean = {
+    val t = creators.get(id)
+    t != null && t.longValue != Thread.currentThread().getId
+  }
+
+  /** The persisted RDDs backing a localCheckpoint'ed frame — read off the
+    * plan's LogicalRDD leaves, not diffed from global context state. */
+  private[util] def backingIds(df: DataFrame): Array[Int] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toArray
+
   /** Run `body`, checkpoint its result, and free every persistent RDD the
     * body created (including frames checkpointed inside callees) except
     * those backing the returned result — a storage-hygiene scope for
@@ -36,8 +67,10 @@ object Checkpoints {
     val res = body
     val mid = sc.getPersistentRDDs.keySet
     val out = res.localCheckpoint() // materialize free of the body's frames
-    mid.diff(before).foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    mid.diff(before)
+      .filterNot(ownedByOtherThread) // a concurrent kernel's frames, not ours
+      .foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     out
   }
 }
@@ -46,12 +79,13 @@ final class Checkpoints(spark: SparkSession) {
   private val sc = spark.sparkContext
   private val owned = new java.util.IdentityHashMap[DataFrame, Array[Int]]()
 
-  /** localCheckpoint + record the backing RDD ids of the new frame. */
+  /** localCheckpoint + record the backing RDD ids of the new frame
+    * (exact — read from the frame's own plan, never global diffing). */
   def apply(df: DataFrame): DataFrame = {
-    val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint()
-    val added = sc.getPersistentRDDs.keysIterator.filterNot(before.contains).toArray
-    owned.put(out, added)
+    val ids = Checkpoints.backingIds(out)
+    Checkpoints.register(sc, ids)
+    owned.put(out, ids)
     out
   }
 
@@ -76,6 +110,8 @@ final class Checkpoints(spark: SparkSession) {
 
   def freeAll(): Unit = freeAllExcept()
 
-  private def unpersistIds(ids: Array[Int]): Unit =
+  private def unpersistIds(ids: Array[Int]): Unit = {
+    Checkpoints.deregister(ids)
     ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+  }
 }
