@@ -267,11 +267,18 @@ object SparkEntry {
         .select(col("media_id"), col("d").cast("long").as("d"),
           col("f").cast("double").as("feature"))
         .orderBy("media_id", "d")),
-    // ---- non-SQL-expressible pipelines (driver does a rows-only check) ----
+    "bfs_single" -> ((s, dir) => {
+      val root = LinkGraph.vertices(s, dir).agg(min(col("v"))).first().getLong(0)
+      BFS.singleChild(LinkGraph.edges(s, dir), root, seed = 42L)
+        .orderBy("parent", "dist")
+    }),
+    // FP-pinned gate mode (left-fold sums over sorted operands, w*w
+    // inflation, fixed iterations) — hash-exact vs the DuckDB replay;
+    // MarkovClustering.run stays the chaos-terminated throughput path
     "mcl_clusters" -> ((s, dir) =>
-      MarkovClustering.run(LinkGraph.weightedEdges(s, dir), LinkGraph.vertices(s, dir),
-          maxIters = 6)
-        .groupBy("cluster").agg(count(lit(1)).as("sz")).orderBy("cluster")),
+      MarkovClustering.gateRun(LinkGraph.weightedEdges(s, dir),
+          LinkGraph.vertices(s, dir), iters = 3)
+        .orderBy("vid")),
     "mis" -> ((s, dir) =>
       MaximalIndependentSet.run(LinkGraph.edges(s, dir), LinkGraph.vertices(s, dir))
         .orderBy("v")),
@@ -293,6 +300,8 @@ object SparkEntry {
     "bfs_parents" -> GraphOracles.bfsParentsSql(),
     "filtered_bfs" -> GraphOracles.filteredBfsSql(),
     "bfs_parents_rand" -> GraphOracles.bfsParentsRandSql(42L),
+    "bfs_single" -> GraphOracles.bfsSingleSql(42L),
+    "mcl_clusters" -> GraphOracles.mclSql(iters = 3),
     "sssp" -> GraphOracles.ssspSql(),
     "tdsp" -> GraphOracles.tdspSql(startT = 30000.0),
     "bipartite_match" -> GraphOracles.matchingSql(),

@@ -32,7 +32,13 @@ object Verify {
       .select(org.apache.spark.sql.functions.col("media_id"),
         org.apache.spark.sql.functions.col("payload"))
       .coalesce(1).write.mode("overwrite").parquet(s"${SparkEntry.auxDir}/media")
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration aid: SPARK_GRAFT_ONLY=q1,q2 restricts the dump to a
+    // comma-separated subset (the driver never sets it — full run there).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -154,7 +154,8 @@ object BFS {
     * @return (vid, parent, dist) for reached vertices */
   def parents(edges: DataFrame, root: Long, maxDepth: Int = 10,
               broadcastMax: Long = BroadcastMax,
-              alpha: Double = 2.0, seed: Option[Long] = None): DataFrame = {
+              alpha: Double = 2.0, seed: Option[Long] = None,
+              pickMax: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val cp = new graft.util.Checkpoints(spark)
@@ -187,7 +188,11 @@ object BFS {
         case Some(s) =>
           min(struct(md5(concat_ws(":", lit(s), col("src"))).as("pri"),
             col("src"))).getField("src").as("parent")
-        case None => min(col("src")).as("parent")
+        case None =>
+          // pickMax mirrors the SelectMaxSRing parent pick of the
+          // SingleChildBFS driver (reference SingleChildBFS.cpp:118,277)
+          if (pickMax) max(col("src")).as("parent")
+          else min(col("src")).as("parent")
       }
       val next = cp(candidates
         .groupBy(col("dst").as("v")).agg(parentAgg)
@@ -207,6 +212,27 @@ object BFS {
     e.unpersist(false); universe.unpersist(false)
     cp.freeAllExcept(visited)
     visited.select(col("v").as("vid"), col("parent"), col("dist"))
+  }
+
+  /** Single-child BFS (reference Applications/SingleChildBFS.cpp:273-285):
+    * a SelectMax-parent BFS where each level additionally reduces the new
+    * fringe to ONE child per parent — `fringe.Uniq(RandReduce)`, the
+    * "single child frontier". The reference's RandReduce pick is pinned to
+    * argmin md5(seed:child) (engine-replayable, same trick as
+    * RandomParentBFS), and because the per-level fringe is exactly the
+    * tree rows at that dist, the Uniq is a single group-by over the final
+    * tree — no extra per-level pass.
+    *
+    * @return (parent, dist, child) — one row per (parent, level) that
+    *         discovered at least one vertex */
+  def singleChild(edges: DataFrame, root: Long, seed: Long = 42L,
+                  maxDepth: Int = 10): DataFrame = {
+    val tree = parents(edges, root, maxDepth, pickMax = true)
+    tree.where(col("vid") =!= root)
+      .groupBy("parent", "dist")
+      .agg(min(struct(md5(concat_ws(":", lit(seed), col("vid"))).as("pri"),
+        col("vid").as("vid"))).getField("vid").as("child"))
+      .select("parent", "dist", "child")
   }
 
   /** Graph500-style tree validation (reference TopDownBFS.cpp:448-466 and

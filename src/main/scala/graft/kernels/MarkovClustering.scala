@@ -96,6 +96,95 @@ object MarkovClustering {
     clusters
   }
 
+  /** Gate-mode MCL: the same expand → inflate → normalize → prune/recover/
+    * select pipeline as [[run]], with every FP-order-sensitive reduction
+    * PINNED to a left fold over value-sorted operands so an independent
+    * engine (the DuckDB oracle, [[graft.oracle.GraphOracles.mclSql]])
+    * reproduces bit-identical doubles:
+    *
+    *  - column sums (MakeColStochastic, MCL.cpp:389-395) and expansion
+    *    dot products (MCL.cpp:574) are `aggregate(array_sort(
+    *    collect_list(...)))` — a sequential fold in sorted order, which
+    *    DuckDB's `list_sum(list_sort(list(...)))` evaluates identically
+    *    (both are left folds; equal elements are adjacent after the sort,
+    *    so their internal order cannot change the fold);
+    *  - inflation is fixed at r = 2 and spelled w·w (pow() tie-rules
+    *    differ across libm builds; multiplication is IEEE-exact);
+    *  - the chaos early-exit is replaced by a FIXED iteration count
+    *    (chaos is a diagnostic here, not a gate input).
+    *
+    * Every comparison downstream (prune threshold, recovery mode, the
+    * (w desc, src asc) select window) then sees identical doubles, so the
+    * final attractor pattern — and the cluster assignment it induces
+    * (Interpret, MCL.cpp:373-386) — hash-matches across engines. The
+    * collect_list groups are single matrix columns (≤ selectTop + recovery
+    * entries after the first prune), so the pinned fold is gate-scale
+    * bounded, not a scale path; [[run]] remains the throughput kernel.
+    *
+    * @return (vid, cluster) — cluster = min vid of the vertex's cluster */
+  def gateRun(edges: DataFrame, vertices: DataFrame, iters: Int = 3,
+              pruneThreshold: Double = 1e-4, selectTop: Int = 50,
+              recoverNum: Int = 10, recoverPct: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.Column
+    val cp = new graft.util.Checkpoints(edges.sparkSession)
+    def pinnedSum(c: Column): Column =
+      aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+    def normalize(m: DataFrame): DataFrame = {
+      val cs = m.groupBy("dst").agg(pinnedSum(col("w")).as("csum"))
+      m.join(cs, "dst")
+        .select(col("src"), col("dst"), (col("w") / col("csum")).as("w"))
+    }
+    // AdjustLoops (MCL.cpp:463): edges are loop-free and the loop rows are
+    // src==dst, so the union has no duplicate cells — no cell-merge sum.
+    val selfLoops = vertices.select(col("v").as("src"), col("v").as("dst"),
+      lit(1.0).as("w"))
+    var a = cp(normalize(edges.select("src", "dst", "w").unionByName(selfLoops)))
+    for (_ <- 1 to iters) {
+      val expanded = a.as("l").join(a.as("r"), col("l.dst") === col("r.src"))
+        .groupBy(col("l.src").as("src"), col("r.dst").as("dst"))
+        .agg(pinnedSum(col("l.w") * col("r.w")).as("w"))
+      val inflated = expanded.select(col("src"), col("dst"),
+        (col("w") * col("w")).as("w"))
+      val normed = normalize(inflated)
+      // prune → recover → select with the keptSum stat pinned the same way
+      val byCol = Window.partitionBy("dst").orderBy(col("w").desc, col("src").asc)
+      val ranked = cp(normed.withColumn("rn", row_number().over(byCol)))
+      val stats = ranked.groupBy("dst").agg(
+        count(lit(1)).as("allNnz"),
+        sum(when(col("w") > pruneThreshold, 1L).otherwise(0L)).as("keptNnz"),
+        pinnedSum(when(col("w") > pruneThreshold, col("w"))).as("keptSum"))
+      val mode = stats
+        .withColumn("doRecover", col("keptNnz") < recoverNum &&
+          col("allNnz") > col("keptNnz") && col("keptSum") < recoverPct)
+        .withColumn("doSelect", !col("doRecover") && col("keptNnz") > selectTop)
+        .select("dst", "doRecover", "doSelect")
+      val thrRec = ranked.where(col("rn") === recoverNum)
+        .select(col("dst"), col("w").as("thrRec"))
+      val thrSel = ranked.where(col("rn") === selectTop)
+        .select(col("dst"), col("w").as("thrSel"))
+      val pruned = ranked.join(mode, "dst")
+        .join(thrRec, Seq("dst"), "left")
+        .join(thrSel, Seq("dst"), "left")
+        .where(
+          when(col("doRecover"),
+            col("w") >= coalesce(col("thrRec"), lit(Double.NegativeInfinity)))
+          .when(col("doSelect"), col("w") >= col("thrSel"))
+          .otherwise(col("w") > pruneThreshold))
+        .select("src", "dst", "w")
+      val prev = a
+      a = cp(normalize(pruned))
+      cp.free(prev)
+      cp.freeAllExcept(a)
+    }
+    val pattern = a.where(col("w") > lit(1e-9)).select("src", "dst")
+    val sym = pattern.unionByName(
+      pattern.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val clusters = ConnectedComponents.run(sym, vertices)
+      .select(col("vid"), col("component").as("cluster"))
+    cp.freeAll()
+    clusters
+  }
+
   /** Expansion flop estimate for A·A: Σ_k nnz(column k of left) ·
     * nnz(row k of right) — the reference's EstimateFLOP
     * (ParFriends.h:358-444), two map-side-combined degree aggregates and

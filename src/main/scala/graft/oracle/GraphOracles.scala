@@ -598,4 +598,126 @@ object GraphOracles {
        |)
        |SELECT v AS vid, CAST(min(d) AS BIGINT) AS dist
        |FROM bfs GROUP BY v ORDER BY vid""".stripMargin
+
+  /** Single-child BFS (reference Applications/SingleChildBFS.cpp:273-285):
+    * per level, after the SelectMax SpMV assigns each newly discovered
+    * vertex its MAX discoverer as parent, `fringe.Uniq(RandReduce)` keeps
+    * ONE child per parent — the "single child frontier". The kernel pins
+    * the reference's random pick to argmin md5(seed:child) (the same
+    * engine-replayable trick as RandomParentBFS), so the oracle replays
+    * it exactly: unrolled max-parent BFS, then per (parent, dist) the
+    * md5-minimal child. */
+  def bfsSingleSql(seed: Long, levels: Int = 10): String = {
+    val head =
+      s"""WITH $edgesCte,
+         |f0 AS MATERIALIZED (
+         |  SELECT CAST((SELECT min(v) FROM verts) AS BIGINT) AS v,
+         |         CAST((SELECT min(v) FROM verts) AS BIGINT) AS parent,
+         |         CAST(0 AS BIGINT) AS dist),
+         |vis0 AS (SELECT v FROM f0)""".stripMargin
+    val steps = (1 to levels).map { l =>
+      s"""f$l AS MATERIALIZED (
+         |  SELECT e.dst AS v, CAST(max(e.src) AS BIGINT) AS parent,
+         |         CAST($l AS BIGINT) AS dist
+         |  FROM f${l - 1} f JOIN edges e ON e.src = f.v
+         |  LEFT JOIN vis${l - 1} x ON x.v = e.dst
+         |  WHERE x.v IS NULL
+         |  GROUP BY e.dst),
+         |vis$l AS MATERIALIZED (
+         |  SELECT v FROM vis${l - 1} UNION ALL SELECT v FROM f$l)""".stripMargin
+    }
+    val unionAll = (1 to levels).map(l => s"SELECT v, parent, dist FROM f$l")
+      .mkString("\n  UNION ALL ")
+    (head +: steps).mkString(",\n") +
+      s"""
+         |SELECT parent, dist, child FROM (
+         |  SELECT parent, dist, v AS child,
+         |         row_number() OVER (PARTITION BY parent, dist
+         |           ORDER BY md5('$seed:' || CAST(v AS VARCHAR)), v) AS rn
+         |  FROM (
+         |  $unionAll) t) r
+         |WHERE rn = 1 ORDER BY parent, dist""".stripMargin
+  }
+
+  /** FP-pinned MCL replay ([[graft.kernels.MarkovClustering.gateRun]]).
+    * Every order-sensitive double reduction is `list_sum(list_sort(
+    * list(...)))` — a sequential left fold over value-sorted operands,
+    * bit-identical to Spark's `aggregate(array_sort(collect_list(...)))`;
+    * inflation is w*w; divisions and comparisons are IEEE-exact given
+    * identical operands, so prune/recover/select decisions and the final
+    * attractor pattern match the kernel hash-exactly. */
+  def mclSql(iters: Int = 3, thr: Double = 1e-4, selectTop: Int = 50,
+             recoverNum: Int = 10, recoverPct: Double = 0.5): String = {
+    val T = dbl(thr)
+    val head =
+      s"""WITH RECURSIVE $edgesCte,
+         |${OpOracles.wedgesCte},
+         |init AS (
+         |  SELECT src, dst, w FROM wedges
+         |  UNION ALL SELECT v, v, ${dbl(1.0)} FROM verts),
+         |ics AS (SELECT dst, list_sum(list_sort(list(w))) AS csum
+         |        FROM init GROUP BY dst),
+         |a0 AS MATERIALIZED (
+         |  SELECT m.src, m.dst, m.w / c.csum AS w
+         |  FROM init m JOIN ics c ON m.dst = c.dst)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = s"a${i - 1}"
+      s"""infl$i AS MATERIALIZED (
+         |  SELECT src, dst, w*w AS w FROM (
+         |    SELECT l.src AS src, r.dst AS dst,
+         |           list_sum(list_sort(list(l.w * r.w))) AS w
+         |    FROM $p l JOIN $p r ON l.dst = r.src
+         |    GROUP BY l.src, r.dst)),
+         |ncs$i AS (SELECT dst, list_sum(list_sort(list(w))) AS csum
+         |          FROM infl$i GROUP BY dst),
+         |rank$i AS MATERIALIZED (
+         |  SELECT src, dst, w,
+         |         row_number() OVER (PARTITION BY dst
+         |                            ORDER BY w DESC, src ASC) AS rn
+         |  FROM (SELECT m.src, m.dst, m.w / c.csum AS w
+         |        FROM infl$i m JOIN ncs$i c ON m.dst = c.dst)),
+         |stat$i AS (
+         |  SELECT dst, count(*) AS allnnz,
+         |         count(*) FILTER (WHERE w > $T) AS keptnnz,
+         |         COALESCE(list_sum(list_sort(list(w) FILTER (WHERE w > $T))),
+         |                  ${dbl(0.0)}) AS keptsum
+         |  FROM rank$i GROUP BY dst),
+         |mode$i AS (
+         |  SELECT dst,
+         |    (keptnnz < $recoverNum AND allnnz > keptnnz
+         |     AND keptsum < ${dbl(recoverPct)}) AS dorecover,
+         |    (NOT (keptnnz < $recoverNum AND allnnz > keptnnz
+         |          AND keptsum < ${dbl(recoverPct)})
+         |     AND keptnnz > $selectTop) AS doselect
+         |  FROM stat$i),
+         |trec$i AS (SELECT dst, w AS thrrec FROM rank$i WHERE rn = $recoverNum),
+         |tsel$i AS (SELECT dst, w AS thrsel FROM rank$i WHERE rn = $selectTop),
+         |pr$i AS MATERIALIZED (
+         |  SELECT k.src, k.dst, k.w
+         |  FROM rank$i k JOIN mode$i m ON k.dst = m.dst
+         |  LEFT JOIN trec$i tr ON k.dst = tr.dst
+         |  LEFT JOIN tsel$i ts ON k.dst = ts.dst
+         |  WHERE CASE
+         |    WHEN m.dorecover THEN k.w >= COALESCE(tr.thrrec, CAST('-inf' AS DOUBLE))
+         |    WHEN m.doselect THEN k.w >= ts.thrsel
+         |    ELSE k.w > $T END),
+         |pcs$i AS (SELECT dst, list_sum(list_sort(list(w))) AS csum
+         |          FROM pr$i GROUP BY dst),
+         |a$i AS MATERIALIZED (
+         |  SELECT m.src, m.dst, m.w / c.csum AS w
+         |  FROM pr$i m JOIN pcs$i c ON m.dst = c.dst)""".stripMargin
+    }
+    val tailCtes =
+      s"""pat AS (SELECT src, dst FROM a$iters WHERE w > ${dbl(1e-9)}),
+         |spat AS MATERIALIZED (
+         |  SELECT src, dst FROM pat UNION SELECT dst, src FROM pat),
+         |comp(v, l) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT e.dst, c.l FROM comp c JOIN spat e ON e.src = c.v
+         |)""".stripMargin
+    ((head +: steps) :+ tailCtes).mkString(",\n") +
+      "\nSELECT v AS vid, CAST(min(l) AS BIGINT) AS cluster" +
+      "\nFROM comp GROUP BY v ORDER BY vid"
+  }
 }

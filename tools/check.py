@@ -13,6 +13,9 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+if len(sys.argv) > 3:  # optional: restrict to named queries
+    keep = set(sys.argv[3].split(","))
+    oracle = {k: v for k, v in oracle.items() if k in keep}
 fails = 0
 for name, sql in sorted(oracle.items()):
     spath = f"{outdir}/{name}"
