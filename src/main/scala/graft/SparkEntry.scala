@@ -267,6 +267,26 @@ object SparkEntry {
         .select(col("media_id"), col("d").cast("long").as("d"),
           col("f").cast("double").as("feature"))
         .orderBy("media_id", "d")),
+    "induced_stats" -> ((s, dir) => {
+      // w>=2 fragments the co-occurrence graph into ~10^2 components at
+      // sf0.01, so the per-component routing is actually exercised
+      val e = LinkGraph.weightedEdges(s, dir).where(col("w") >= 2)
+        .select("src", "dst")
+      val labels = ConnectedComponents.run(e, LinkGraph.vertices(s, dir))
+      MatrixOps.inducedSubgraphStats(e, labels).orderBy("component")
+    }),
+    "cc_labeled" -> ((s, dir) => {
+      // WriteMCLClusters-style labeled output: components of the ingested
+      // web graph decoded back through the dictionary in BOTH directions
+      val built = graph.WebGraph.build(pages.PageGen.pages(s, IngestPages))
+      val cc = ConnectedComponents.run(graph.WebGraph.symmetrize(built.edges),
+        built.vertices)
+      val byV = built.dict.select(col("vid"), col("url"))
+      val byC = built.dict.select(col("vid").as("component"),
+        col("url").as("cluster_url"))
+      cc.join(byV, "vid").join(byC, "component")
+        .select("url", "cluster_url").orderBy("url")
+    }),
     "bfs_single" -> ((s, dir) => {
       val root = LinkGraph.vertices(s, dir).agg(min(col("v"))).first().getLong(0)
       BFS.singleChild(LinkGraph.edges(s, dir), root, seed = 42L)
@@ -302,6 +322,8 @@ object SparkEntry {
     "bfs_parents_rand" -> GraphOracles.bfsParentsRandSql(42L),
     "bfs_single" -> GraphOracles.bfsSingleSql(42L),
     "mcl_clusters" -> GraphOracles.mclSql(iters = 3),
+    "induced_stats" -> GraphOracles.inducedStatsSql(),
+    "cc_labeled" -> GraphOracles.ccLabeledSql(s"$auxDir/pages"),
     "sssp" -> GraphOracles.ssspSql(),
     "tdsp" -> GraphOracles.tdspSql(startT = 30000.0),
     "bipartite_match" -> GraphOracles.matchingSql(),

@@ -87,10 +87,65 @@ object MatrixOps {
 
   /** Scale each edge by a per-src (dim=row) or per-dst (dim=col) vector —
     * reference DimApply, SpParMat.cpp:801-887 (PageRank normalize /
-    * MakeColStochastic). Broadcast-joins the vector when small. */
-  def dimApplyRows(m: DataFrame, vec: DataFrame, f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): DataFrame =
-    m.join(broadcast(vec.select(col("v").as("src"), col("xv"))), Seq("src"))
+    * MakeColStochastic). Size-gated: the vector is broadcast only below
+    * `broadcastMax` rows (one count probe); beyond the gate — a per-vertex
+    * vector at 10^9 vertices would blow any broadcast limit — it falls
+    * back to a shuffle-hash join on src (never sort-merge: the edge side
+    * dominates and needs no sort). `broadcastMax = 0` skips the probe and
+    * forces the shuffle path; `Long.MaxValue` forces broadcast. */
+  def dimApplyRows(m: DataFrame, vec: DataFrame,
+                   f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+                   broadcastMax: Long = 4L << 20): DataFrame = {
+    val v = vec.select(col("v").as("src"), col("xv"))
+    val vx =
+      if (broadcastMax == Long.MaxValue) broadcast(v)
+      else if (broadcastMax > 0 && vec.count() <= broadcastMax) broadcast(v)
+      else v.hint("shuffle_hash")
+    m.join(vx, Seq("src"))
       .select(col("src"), col("dst"), f(col("w"), col("xv")).as("w"))
+  }
+
+  /** Route each component's induced subgraph to a single partition and
+    * build its local adjacency there — reference InducedSubgraphs2Procs
+    * (SpParMat.cpp:4908-5045), which ships every component's edges to a
+    * dedicated processor pair. Spark shape: two label joins (keep edges
+    * whose endpoints share a component), ONE repartition on the component
+    * key, then a per-partition pass that accumulates each component's
+    * edge count and distinct-source count (the local CSR's nnz and
+    * occupied-row count). Per-partition state is one counter pair per
+    * component routed there — bounded by components-per-partition, not
+    * edges. Component sizes (nrows, incl. isolated vertices) come from the
+    * label table, so empty components still appear.
+    *
+    * @param labels (vid, component)
+    * @return (component, nrows, nnz, nsrc) */
+  def inducedSubgraphStats(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val bySrc = labels.select(col("vid").as("src"), col("component"))
+    val byDst = labels.select(col("vid").as("dst"), col("component").as("c2"))
+    val routed = edges.join(bySrc, "src").join(byDst, "dst")
+      .where(col("component") === col("c2"))
+      .select(col("component"), col("src"), col("dst"))
+      .repartition(col("component"))
+    val local = routed.as[(Long, Long, Long)].mapPartitions { it =>
+      val nnz = new java.util.HashMap[Long, Array[Long]]()
+      val srcs = new java.util.HashMap[Long, java.util.HashSet[Long]]()
+      it.foreach { case (c, s, _) =>
+        nnz.computeIfAbsent(c, _ => Array(0L))(0) += 1
+        srcs.computeIfAbsent(c, _ => new java.util.HashSet[Long]()).add(s)
+      }
+      import scala.jdk.CollectionConverters._
+      nnz.entrySet().iterator().asScala.map { e =>
+        (e.getKey, e.getValue()(0), srcs.get(e.getKey).size().toLong)
+      }
+    }.toDF("component", "nnz", "nsrc")
+    val sizes = labels.groupBy("component").agg(count(lit(1)).as("nrows"))
+    sizes.join(local, Seq("component"), "left")
+      .select(col("component"), col("nrows"),
+        coalesce(col("nnz"), lit(0L)).as("nnz"),
+        coalesce(col("nsrc"), lit(0L)).as("nsrc"))
+  }
 
   /** Union with add-combine: A + B — reference operator+= / MergeAll,
     * SpParMat.cpp:741-772 (e.g. the A += Aᵀ symmetrize). */

@@ -599,6 +599,71 @@ object GraphOracles {
        |SELECT v AS vid, CAST(min(d) AS BIGINT) AS dist
        |FROM bfs GROUP BY v ORDER BY vid""".stripMargin
 
+  /** Per-component induced-subgraph stats
+    * ([[graft.operators.MatrixOps.inducedSubgraphStats]]): CC labels by
+    * recursive min-label, then per component its vertex count, induced
+    * edge count, and distinct-source count. */
+  def inducedStatsSql(minW: Double = 2.0): String =
+    s"""WITH RECURSIVE $edgesCte,
+       |${OpOracles.wedgesCte},
+       |fedges AS MATERIALIZED (
+       |  SELECT src, dst FROM wedges WHERE w >= ${dbl(minW)}),
+       |comp(v, l) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT e.dst, c.l FROM comp c JOIN fedges e ON e.src = c.v
+       |),
+       |cc AS MATERIALIZED (
+       |  SELECT v, CAST(min(l) AS BIGINT) AS component FROM comp GROUP BY v),
+       |ie AS (SELECT c1.component, e.src FROM fedges e
+       |       JOIN cc c1 ON c1.v = e.src JOIN cc c2 ON c2.v = e.dst
+       |       WHERE c1.component = c2.component)
+       |SELECT s.component, s.nrows,
+       |       COALESCE(t.nnz, CAST(0 AS BIGINT)) AS nnz,
+       |       COALESCE(t.nsrc, CAST(0 AS BIGINT)) AS nsrc
+       |FROM (SELECT component, CAST(count(*) AS BIGINT) AS nrows
+       |      FROM cc GROUP BY component) s
+       |LEFT JOIN (SELECT component, CAST(count(*) AS BIGINT) AS nnz,
+       |                  CAST(count(DISTINCT src) AS BIGINT) AS nsrc
+       |           FROM ie GROUP BY component) t USING (component)
+       |ORDER BY component""".stripMargin
+
+  /** Dictionary-decoded component output (reference
+    * Applications/WriteMCLClusters.h: clusters written under their string
+    * labels): re-derive the ingest dictionary + edges from the pages dump,
+    * symmetrize, CC, then decode BOTH directions — each url and its
+    * component representative's url. */
+  def ccLabeledSql(pagesDir: String): String =
+    s"""WITH RECURSIVE pages AS MATERIALIZED (
+       |  SELECT url, html FROM read_parquet('$pagesDir/*.parquet')),
+       |links AS MATERIALIZED (
+       |  SELECT url AS srcUrl,
+       |         unnest(regexp_extract_all(html, '<a href="([^"]+)"', 1)) AS dstUrl
+       |  FROM pages),
+       |allurls AS MATERIALIZED (
+       |  SELECT DISTINCT url FROM (
+       |    SELECT url FROM pages UNION ALL SELECT dstUrl AS url FROM links) u),
+       |dict AS MATERIALIZED (
+       |  SELECT url, CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS vid
+       |  FROM allurls),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT s.vid AS src, d.vid AS dst
+       |  FROM links l JOIN dict s ON s.url = l.srcUrl
+       |               JOIN dict d ON d.url = l.dstUrl
+       |  WHERE s.vid <> d.vid),
+       |sedges AS MATERIALIZED (
+       |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |comp(v, l) AS (
+       |  SELECT vid, vid FROM dict
+       |  UNION
+       |  SELECT e.dst, c.l FROM comp c JOIN sedges e ON e.src = c.v
+       |),
+       |cm AS (SELECT v, CAST(min(l) AS BIGINT) AS component FROM comp GROUP BY v)
+       |SELECT dv.url AS url, dc.url AS cluster_url
+       |FROM cm JOIN dict dv ON dv.vid = cm.v
+       |        JOIN dict dc ON dc.vid = cm.component
+       |ORDER BY url""".stripMargin
+
   /** Single-child BFS (reference Applications/SingleChildBFS.cpp:273-285):
     * per level, after the SelectMax SpMV assigns each newly discovered
     * vertex its MAX discoverer as parent, `fringe.Uniq(RandReduce)` keeps

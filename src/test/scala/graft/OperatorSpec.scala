@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.graph.RMat
 import graft.linalg.{ArgMaxCountSemiring, TypedSpMV}
-import graft.operators.{EWise, VectorOps}
+import graft.operators.{EWise, MatrixOps, VectorOps}
 
 /** Coverage tests for the generalized ewise/indexing/vector operators and
   * the typed-semiring extension point. */
@@ -131,5 +131,37 @@ class OperatorSpec extends AnyFunSuite {
     val a = VectorOps.selectCandidates(degs, 2, 7L).collect().map(_.getLong(0)).toSeq
     val b = VectorOps.selectCandidates(degs.repartition(5), 2, 7L).collect().map(_.getLong(0)).toSeq
     assert(a == b && a.length == 2 && !a.contains(2L))
+  }
+
+  test("dimApplyRows: both regimes agree; broadcast gated by vector size") {
+    val a = m((1, 2, 2.0), (1, 3, 4.0), (2, 3, 6.0))
+    val v = vec((1, 10.0), (2, 100.0))
+    def collectD(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val expected = Map((1L, 2L) -> 20.0, (1L, 3L) -> 40.0, (2L, 3L) -> 600.0)
+    val bcast = MatrixOps.dimApplyRows(a, v, _ * _, broadcastMax = Long.MaxValue)
+    val shuf = MatrixOps.dimApplyRows(a, v, _ * _, broadcastMax = 0L)
+    assert(collectD(bcast) == expected)
+    assert(collectD(shuf) == expected)
+    // plan assertions: below the gate → BroadcastHashJoin; above → no broadcast
+    val bplan = bcast.queryExecution.executedPlan.toString
+    assert(bplan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$bplan")
+    val splan = shuf.queryExecution.executedPlan.toString
+    assert(!splan.contains("BroadcastHashJoin"), s"gate must block broadcast:\n$splan")
+  }
+
+  test("inducedSubgraphStats: per-component nnz/nrows/nsrc, empty components kept") {
+    // two components {1,2,3} and {10,11}, plus isolated vertex 20 and a
+    // cross-component edge (3→10) that induced semantics must drop
+    val edges = m((1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0), (10, 11, 1.0), (3, 10, 1.0))
+      .select("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (20L, 20L))
+      .toDF("vid", "component")
+    val out = MatrixOps.inducedSubgraphStats(edges, labels).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((3L, 3L, 2L)),   // 3 vertices, 3 induced edges, srcs {1,2}
+      10L -> ((2L, 1L, 1L)),  // 2 vertices, 1 induced edge, src {10}
+      20L -> ((1L, 0L, 0L)))) // isolated: zero edges but still reported
   }
 }
