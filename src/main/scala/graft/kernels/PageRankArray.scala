@@ -13,15 +13,18 @@ import org.apache.spark.storage.StorageLevel
   *
   * Per iteration: broadcast the rank array, ONE job scans the persisted
   * value-carrying CSR blocks (w = 1/outdeg folded in at build, so the
-  * matrix is column-stochastic over non-dangling sources), emits
-  * per-rowBlock partial contribution segments, and merges them per
-  * rowBlock on executors (one small keyed shuffle of dense segments —
-  * parallel, pid-sort-deterministic); the driver collects only the merged
-  * |V|-doubles y = Aᵀx, recovers the dangling mass as Σx − Σy (each
-  * non-dangling column sums to 1 — [[PageRankBlocked]]'s identity), and
-  * applies the teleport formula in a flat array pass. The relational
-  * path's 2 keyed per-edge exchanges become one per-segment exchange plus
-  * a 32 MB collect.
+  * matrix is column-stochastic over non-dangling sources) and emits
+  * per-rowBlock partial contribution segments. The merge is adaptive on
+  * MEASURED partial volume ([[DriverCollectMaxBytes]]): small partial
+  * sets are collected directly and merged in-process (ONE stage per
+  * iteration — the two-stage executor merge was a measured 0.2 s/iter of
+  * pure scheduling at scale-22); large ones merge per rowBlock on
+  * executors first (one keyed shuffle of dense segments) so the driver
+  * collects only the merged |V| doubles. Either way the driver recovers
+  * the dangling mass as Σx − Σy (each non-dangling column sums to 1 —
+  * [[PageRankBlocked]]'s identity) and applies the teleport formula in a
+  * flat array pass. The relational path's 2 keyed per-edge exchanges
+  * become at most one per-segment exchange plus a ≤128 MB collect.
   *
   * Determinism: per-row columns are sorted at build
   * ([[BlockBuild.csrValBlocks]]), blocks emit in (rb, cb) order, and the
@@ -42,9 +45,21 @@ object PageRankArray {
   /** Id spaces up to this merge partial segments on the driver (the whole
     * partial set is a few MB — an executor-side merge stage is pure
     * scheduling overhead there, measured +1.4 s over 10 iterations at
-    * sf0.1); above it the per-rowBlock merge runs in parallel on
-    * executors and only the merged |V| doubles are collected. */
+    * sf0.1); above it the merge mode is chosen by MEASURED partial volume
+    * (see [[DriverCollectMaxBytes]]). */
   val DriverMergeMax: Int = 1 << 20
+
+  /** Partial-segment volume (bytes) up to which the driver collects the
+    * per-(partition, rowBlock) partials DIRECTLY and merges in-process —
+    * one stage per iteration instead of two. The executor-merge stage
+    * halves the collected bytes but costs a full extra stage of task
+    * scheduling plus a shuffle write/read of the same segments; measured
+    * at scale-22 ef16 (64 MB of partials, colSplits=2) the one-stage path
+    * is the faster per-iteration shape, while at 256 MB (colSplits=8,
+    * round-3 v1) the two-stage merge won — the crossover this default
+    * encodes. Env-tunable via SPARK_GRAFT_PR_COLLECT_MAX. */
+  val DriverCollectMaxBytes: Long =
+    sys.env.getOrElse("SPARK_GRAFT_PR_COLLECT_MAX", (128L << 20).toString).toLong
 
   /** @param edges (src, dst); @param vertices (v) — dense ids ≤ maxId
     * @param colSplits column sub-splits per rowBlock: build-time balance
@@ -55,7 +70,8 @@ object PageRankArray {
     *         compare against [[PageRank.runExact]] at 1e-9) */
   def run(edges: DataFrame, vertices: DataFrame, iters: Int = 10,
           d: Double = 0.85, blockSize: Int = 65536,
-          colSplits: Int = 2): DataFrame = {
+          colSplits: Int = 2,
+          collectMaxBytes: Long = DriverCollectMaxBytes): DataFrame = {
     val spark = edges.sparkSession
     val vr = vertices.agg(coalesce(max(col("v")), lit(-1L)),
       coalesce(min(col("v")), lit(0L))).first()
@@ -77,7 +93,7 @@ object PageRankArray {
       .persist(StorageLevel.MEMORY_AND_DISK)
     blocks.count()
     val out = runOn(spark, blocks, vertices, (maxId + 1).toInt, n, iters, d,
-      blockSize)
+      blockSize, collectMaxBytes)
     blocks.unpersist(blocking = false)
     out
   }
@@ -87,7 +103,8 @@ object PageRankArray {
     * @param nVerts |vertices| — the PageRank n in the teleport formula */
   def runOn(spark: SparkSession, blocks: RDD[ValBlock], vertices: DataFrame,
             nIds: Int, nVerts: Long, iters: Int, d: Double,
-            blockSize: Int): DataFrame = {
+            blockSize: Int,
+            collectMaxBytes: Long = DriverCollectMaxBytes): DataFrame = {
     val sc = spark.sparkContext
     import spark.implicits._
     val bs = blockSize
@@ -100,6 +117,19 @@ object PageRankArray {
     val init = 1.0 / nVerts
     var v0 = 0
     while (v0 < nIds) { if (isVertex(v0)) pr(v0) = init; v0 += 1 }
+
+    // One-time probe: how many (partition, rowBlock) partial segments will
+    // each iteration emit? Their byte volume picks the merge mode (driver
+    // one-stage collect vs executor two-stage merge) — see
+    // [[DriverCollectMaxBytes]]. A single cheap job over the persisted
+    // blocks, outside the iteration loop.
+    val segCount = blocks.mapPartitions { it =>
+      val rbs = collection.mutable.HashSet[Int]()
+      it.foreach(b => rbs += b.rowBlock)
+      Iterator.single(rbs.size.toLong)
+    }.fold(0L)(_ + _)
+    val driverMerge = nIds <= DriverMergeMax ||
+      segCount * bs * 8L <= collectMaxBytes
 
     for (_ <- 1 to iters) {
       val bcX = sc.broadcast(pr)
@@ -134,12 +164,12 @@ object PageRankArray {
         }
         perRb.iterator.map { case (rb, seg) => (rb, (pid, seg)) }
       }
-      // Below DriverMergeMax the whole partial set is a few MB — collect
-      // and merge in-process, skipping a shuffle stage of pure overhead.
-      // Above it, merge per rowBlock on executors. Both add pid-sorted,
-      // so the FP order — and hence the result — is identical.
+      // Below the measured partial-volume threshold, collect and merge
+      // in-process, skipping a shuffle stage of pure overhead. Above it,
+      // merge per rowBlock on executors. Both add pid-sorted, so the FP
+      // order — and hence the result — is identical.
       val segs =
-        if (nIds <= DriverMergeMax)
+        if (driverMerge)
           partials.collect().groupBy(_._1).toArray.map { case (rb, parts) =>
             val acc = new Array[Double](bs)
             parts.sortBy(_._2._1).foreach { case (_, (_, seg)) =>
@@ -158,7 +188,7 @@ object PageRankArray {
               }
               (rb, acc)
             }.collect()
-      bcX.destroy()
+      bcX.destroy() // public destroy() is non-blocking in Spark 4
 
       val y = new Array[Double](nIds)
       segs.foreach { case (rb, seg) =>

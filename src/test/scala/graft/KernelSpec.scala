@@ -209,6 +209,27 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("array pagerank: driver-collect and executor-merge modes are bit-identical") {
+    // An id space above DriverMergeMax (1<<20) so the merge-mode switch is
+    // exercised: collectMaxBytes=Long.MaxValue forces the one-stage
+    // driver-collect path, 0 forces the two-stage executor merge. Both add
+    // partial segments pid-sorted, so the results must match BIT-exactly.
+    val spark = TestSpark.spark
+    val n = (1 << 20) + 4096
+    val ids = spark.range(0, 4000).toDF("i")
+    val e0 = ids.select(
+      (col("i") * 262139L % n).as("src"), (col("i") * 131071L % n).as("dst"))
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val v = spark.range(n.toLong).toDF("v")
+    def runMode(cap: Long) =
+      graft.kernels.PageRankArray.run(e, v, iters = 5, collectMaxBytes = cap)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val driverCollect = runMode(Long.MaxValue)
+    val executorMerge = runMode(0L)
+    assert(driverCollect == executorMerge,
+      "merge modes diverge — pid-sort order no longer shared")
+  }
+
   test("pagerank shuffle-join path (broadcastMax=0) equals broadcast path") {
     val pairs = RefKernels.randomGraph(80, 300, seed = 7L)
     val e = undirected(pairs)
