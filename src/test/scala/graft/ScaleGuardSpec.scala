@@ -118,6 +118,55 @@ class ScaleGuardSpec extends AnyFunSuite {
       s"near-dup pairs ${got.length} != brute-force ${brute.length}")
   }
 
+  /** Correlated-dims fixture: dims 0..47 are near-constant POSITIVE (the
+    * "every page embedding shares boilerplate direction" shape), so the
+    * sign-of-dimension-i family's tables 0-2 collapse into one degenerate
+    * bucket each; the discriminative signal lives only in dims 48..63,
+    * arranged in clusters so exact top-k is dominated by cluster-mates. */
+  private def correlatedEmb(n: Int, clusters: Int) = {
+    val s = spark
+    import s.implicits._
+    def h(x: Long): Long = { // splitmix-style mix, deterministic
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def unit(x: Long): Float = (((h(x) >>> 8) % 2001L) - 1000L) / 1000.0f
+    (0 until n).map { i =>
+      val c = i % clusters
+      val v = Array.tabulate(64) { j =>
+        if (j < 48) 0.5f + 0.01f * unit(i * 64L + j)
+        else unit(7777L + c * 16L + j) + 0.3f * unit(i * 64L + j)
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("random-hyperplane LSH beats sign-of-dimension LSH on correlated dims") {
+    val emb = correlatedEmb(1200, 40).cache()
+    val nQ = 60; val k = 10
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Ann.cosineTopK(emb, nQ, k))
+    val sign = pairs(Ann.multiTableTopK(emb, nQ, k, bits = 16, tables = 4,
+      bucketCap = 300))
+    val rh = pairs(Ann.randomHyperplaneTopK(emb, nQ, k, bits = 16, tables = 4,
+      bucketCap = 300, seed = "rh"))
+    val rSign = sign.intersect(exact).size.toDouble / exact.size
+    val rRh = rh.intersect(exact).size.toDouble / exact.size
+    info(f"recall@10: sign-of-dim $rSign%.3f, random-hyperplane $rRh%.3f")
+    // The margin is the point: 3 of 4 sign tables are degenerate here while
+    // every random hyperplane mixes the informative dims.
+    assert(rRh > rSign + 0.05,
+      f"expected random hyperplanes to win: rh=$rRh%.3f sign=$rSign%.3f")
+    // determinism: same seed, repartitioned input -> identical result
+    val rh2 = pairs(Ann.randomHyperplaneTopK(emb.repartition(7), nQ, k,
+      bits = 16, tables = 4, bucketCap = 300, seed = "rh"))
+    assert(rh2 == rh, "random-hyperplane ANN not deterministic")
+    emb.unpersist()
+  }
+
   test("uncapped multi-table ANN on a single bucket equals exact top-k") {
     val emb = onePosBucket(40)
     def rows(df: org.apache.spark.sql.DataFrame) =
