@@ -125,6 +125,10 @@ class KernelSpec extends AnyFunSuite {
       "forced top-down, shuffle join")
     assert(asMap(graft.kernels.BlockBFS.levels(e, root, blockSize = 64)) == want,
       "bitmap kernel, multi-block")
+    assert(asMap(graft.kernels.BlockBFS.levels(e, root, blockSize = 64,
+      dirThreshold = 0.0)) == want, "bitmap kernel, forced bottom-up")
+    assert(asMap(graft.kernels.BlockBFS.levels(e, root, blockSize = 64,
+      dirThreshold = Double.MaxValue)) == want, "bitmap kernel, forced top-down")
   }
 
   test("SSSP differential vs driver Dijkstra; frontier paths agree") {
