@@ -303,6 +303,108 @@ object SparkEntry {
       MarkovClustering.gateRun(LinkGraph.weightedEdges(s, dir),
           LinkGraph.vertices(s, dir), iters = 3)
         .orderBy("vid")),
+    "ewise_outer" -> ((s, dir) => {
+      // generalized EWiseApply: union-of-patterns full-outer with per-side
+      // defaults (ParFriends.h:2207-2255 allowANulls/allowBNulls semantics)
+      val we = LinkGraph.weightedEdges(s, dir)
+      val a = we.where(col("w") >= 2)
+      val b = we.where((col("src") + col("dst")) % 3 === 0)
+      operators.EWise.ewiseApply(a, b, (x, y) => x + lit(2.0) * y)
+        .orderBy("src", "dst")
+    }),
+    "subsref" -> ((s, dir) => {
+      val verts = LinkGraph.vertices(s, dir)
+      operators.EWise.subsRef(LinkGraph.weightedEdges(s, dir),
+          verts.where(col("v") % 5 === 0), verts.where(col("v") % 3 === 0))
+        .orderBy("src", "dst")
+    }),
+    "spasgn" -> ((s, dir) => {
+      val we = LinkGraph.weightedEdges(s, dir)
+      val verts = LinkGraph.vertices(s, dir)
+      val b = we.where(col("src") % 7 === 0 && col("dst") % 2 === 0)
+        .select(col("src"), col("dst"), lit(999.0).as("w"))
+      operators.EWise.spAsgn(we,
+          verts.where(col("v") % 7 === 0), verts.where(col("v") % 2 === 0), b)
+        .orderBy("src", "dst", "w")
+    }),
+    "prune_val" -> ((s, dir) =>
+      operators.EWise.prune(LinkGraph.weightedEdges(s, dir), col("w") >= 3)
+        .orderBy("src", "dst")),
+    "prune_cols" -> ((s, dir) => {
+      // threshold vector = per-column mean weight (MCL's select-threshold
+      // shape); exact-integral sum / long count ⇒ engine-neutral boundary
+      val we = LinkGraph.weightedEdges(s, dir)
+      val thr = we.groupBy(col("dst").as("v"))
+        .agg((sum(col("w")) / count(lit(1))).as("xv"))
+      operators.EWise.pruneColumn(we, thr).orderBy("src", "dst")
+    }),
+    "vec_uniq" -> ((s, dir) => {
+      val deg = LinkGraph.outDegrees(LinkGraph.edges(s, dir))
+        .select(col("v"), col("outdeg").cast("double").as("xv"))
+      VectorOps.uniq(deg).orderBy("xv")
+    }),
+    "vec_invert" -> ((s, dir) => {
+      val perm = VectorOps.sortPerm(
+          Tables.part(s, dir).select("p_partkey", "p_retailprice"),
+          Seq(col("p_retailprice"), col("p_partkey")))
+        .select(col("p_partkey").cast("long").as("v"),
+          col("rank").cast("double").as("xv"))
+      VectorOps.invert(perm).orderBy("v")
+    }),
+    "vec_concat" -> ((s, dir) => {
+      val deg = LinkGraph.outDegrees(LinkGraph.edges(s, dir))
+        .select(col("v"), col("outdeg").cast("double").as("xv"))
+      VectorOps.concat(deg, deg.where(col("xv") >= 100), 1000000L).orderBy("v")
+    }),
+    "vec_minelt" -> ((s, dir) => {
+      val deg = LinkGraph.outDegrees(LinkGraph.edges(s, dir))
+        .select(col("v"), col("outdeg").cast("double").as("xv"))
+      VectorOps.minElement(deg)
+    }),
+    "vec_gather" -> ((s, dir) => {
+      // Extract/gather through an index vector (CC.h:419-575): the degree
+      // vector indexes a dense vertex-keyed table; out(v) = dense(deg(v))
+      val deg = LinkGraph.outDegrees(LinkGraph.edges(s, dir))
+        .select(col("v"), col("outdeg").cast("double").as("xv"))
+      val dense = LinkGraph.vertices(s, dir)
+        .select(col("v"), ((col("v") * 37) % 1001).cast("double").as("xv"))
+      VectorOps.gather(deg, dense).orderBy("v")
+    }),
+    "vec_scatter_min" -> ((s, dir) => {
+      // Assign/ReduceAssign (CC.h:746-1028): incoming updates min-reduced
+      // into the degree vector; duplicates pre-reduce map-side
+      val e = LinkGraph.edges(s, dir)
+      val deg = LinkGraph.outDegrees(e)
+        .select(col("v"), col("outdeg").cast("double").as("xv"))
+      val upd = e.select(col("dst").as("target"),
+        (col("src") % 50).cast("double").as("xv"))
+      VectorOps.scatterMin(deg, upd).orderBy("v")
+    }),
+    "reduce_col" -> ((s, dir) =>
+      MatrixOps.reduceCols(LinkGraph.weightedEdges(s, dir)).orderBy("v")),
+    "matrix_add" -> ((s, dir) => {
+      val we = LinkGraph.weightedEdges(s, dir)
+      MatrixOps.add(we, we.where(col("w") >= 2), PlusTimes).orderBy("src", "dst")
+    }),
+    "spgemm_phased" -> ((s, dir) => {
+      // MemEfficientSpGEMM through the gate: phased SUMMA over disjoint
+      // column-block slices, decoded back to COO and row-aggregated — the
+      // oracle is the SAME SQL as spgemm_rowstats, so phased ≡ relational
+      // is independently verified (not just phased ≡ single-phase in-spec)
+      import graft.linalg.BlockMatrix
+      val e = LinkGraph.edges(s, dir).withColumn("w", lit(1.0))
+      val maxId = e.agg(coalesce(greatest(max(col("src")), max(col("dst"))),
+        lit(-1L))).first().getLong(0)
+      val bs = 512
+      val nb = BlockMatrix.numBlocks(maxId + 1, bs)
+      val blocks = BlockMatrix.fromEdges(e, bs)
+      val prod = BlockMatrix.spgemmPhased(blocks, blocks, bs, nb, phases = 2,
+        zero = 0.0, add = _ + _, mult = _ * _)
+      BlockMatrix.toCoo(prod, bs)
+        .groupBy(col("src").as("v"))
+        .agg(count(lit(1)).as("nnz"), sum(col("w")).cast("long").as("total"))
+        .orderBy("v")
+    }),
     "mis" -> ((s, dir) =>
       MaximalIndependentSet.run(LinkGraph.edges(s, dir), LinkGraph.vertices(s, dir))
         .orderBy("v")),
@@ -373,6 +475,20 @@ object SparkEntry {
     "dedup_embed" -> TextOracles.embedNearDupSql(0.35, bits = 8,
       tables = 8, bucketCap = 50),
     "bandwidth" -> OpOracles.bandwidthSql,
+    "ewise_outer" -> OpOracles.ewiseOuterSql,
+    "subsref" -> OpOracles.subsRefSql,
+    "spasgn" -> OpOracles.spAsgnSql,
+    "prune_val" -> OpOracles.pruneValSql,
+    "prune_cols" -> OpOracles.pruneColsSql,
+    "vec_uniq" -> OpOracles.vecUniqSql,
+    "vec_invert" -> OpOracles.vecInvertSql,
+    "vec_concat" -> OpOracles.vecConcatSql,
+    "vec_minelt" -> OpOracles.vecMinEltSql,
+    "vec_gather" -> OpOracles.vecGatherSql,
+    "vec_scatter_min" -> OpOracles.vecScatterMinSql,
+    "reduce_col" -> OpOracles.reduceColsSql,
+    "matrix_add" -> OpOracles.matrixAddSql,
+    "spgemm_phased" -> OpOracles.spgemmRowStatsSql,
     "ingest_linkgraph" -> GraphOracles.ingestLinkGraphSql(s"$auxDir/pages"),
     "ingest_text" -> GraphOracles.ingestTextSql(s"$auxDir/pages"),
     "media_stats" -> MediaOracles.mediaStatsSql(s"$auxDir/media"),

@@ -25,8 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object LabelPropagation {
 
-  /** Vector sizes below this broadcast into the edge join. */
-  val BroadcastMax = 5000000L
+  /** Vector sizes below this broadcast into the edge join; above it the
+    * labels shuffle to the src-partitioned edge table (only the 8-byte
+    * label rows move — the per-round broadcast is a serial term that does
+    * not shrink with executors, so at-scale runs want the shuffle path). */
+  val BroadcastMax: Long =
+    sys.env.getOrElse("SPARK_GRAFT_LP_BCAST_MAX", "5000000").toLong
 
   /** @param edges symmetric (src, dst); @return (vid: long, label: long) */
   def run(edges: DataFrame, vertices: DataFrame, rounds: Int = 5): DataFrame =

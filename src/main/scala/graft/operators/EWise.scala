@@ -43,6 +43,11 @@ object EWise {
     m.exceptAll(hole).unionByName(b)
   }
 
+  /** Value prune — reference SpParMat::Prune (SpParMat.cpp:2477-2521):
+    * drop entries whose value fails the predicate. Pure Catalyst filter —
+    * pushes to the scan when `m` is a base relation. */
+  def prune(m: DataFrame, keep: Column): DataFrame = m.where(keep)
+
   /** Per-column threshold prune — reference PruneColumn
     * (SpParMat.cpp:2567-2648, MCL's column pruning): drop entries whose
     * value falls below the column's threshold vector. */

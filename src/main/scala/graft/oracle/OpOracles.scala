@@ -87,6 +87,109 @@ object OpOracles {
       |       CAST(count(DISTINCT src) AS BIGINT) AS nonempty_rows
       |FROM edges""".stripMargin)
 
+  /** Full-outer EWiseApply with per-side defaults (EWise.ewiseApply):
+    * a = wedges(w≥2), b = wedges((src+dst)%3=0), f = wa + 2·wb. Sums of
+    * integral doubles — exact in both engines. */
+  def ewiseOuterSql: String = withBoth(
+    """, a AS (SELECT * FROM wedges WHERE w >= 2),
+      |b AS (SELECT * FROM wedges WHERE (src + dst) % 3 = 0)
+      |SELECT COALESCE(a.src, b.src) AS src, COALESCE(a.dst, b.dst) AS dst,
+      |       COALESCE(a.w, 0) + 2 * COALESCE(b.w, 0) AS w
+      |FROM a FULL OUTER JOIN b ON a.src = b.src AND a.dst = b.dst
+      |ORDER BY src, dst""".stripMargin)
+
+  /** SubsRef A(ri, ci): the semi-joins against {v%5=0} × {v%3=0} collapse
+    * to predicates because every wedge endpoint is in the vertex set. */
+  def subsRefSql: String = withBoth(
+    """SELECT src, dst, w FROM wedges
+      |WHERE src % 5 = 0 AND dst % 3 = 0 ORDER BY src, dst""".stripMargin)
+
+  /** SpAsgn A(ri, ci) = B with B = the hole's coordinates revalued to 999:
+    * equivalent to a per-entry CASE on the hole predicate. */
+  def spAsgnSql: String = withBoth(
+    """SELECT src, dst,
+      |       CASE WHEN src % 7 = 0 AND dst % 2 = 0
+      |            THEN CAST(999 AS DOUBLE) ELSE w END AS w
+      |FROM wedges ORDER BY src, dst, w""".stripMargin)
+
+  /** Prune by value (w ≥ 3). */
+  def pruneValSql: String = withBoth(
+    """SELECT src, dst, w FROM wedges WHERE w >= 3 ORDER BY src, dst""".stripMargin)
+
+  /** PruneColumn with the per-column mean as the threshold vector. The
+    * mean is an exact-integral sum divided by a BIGINT count — the same
+    * IEEE double in both engines, so the ≥ boundary is deterministic. */
+  def pruneColsSql: String = withBoth(
+    """, thr AS (SELECT dst, sum(w) / count(*) AS t FROM wedges GROUP BY dst)
+      |SELECT wedges.src AS src, wedges.dst AS dst, wedges.w AS w
+      |FROM wedges JOIN thr ON wedges.dst = thr.dst
+      |WHERE wedges.w >= thr.t ORDER BY 1, 2""".stripMargin)
+
+  /** Uniq over the out-degree vector: distinct values, min-index rep. */
+  def vecUniqSql: String = withBoth(
+    """, deg AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS xv
+      |           FROM edges GROUP BY src)
+      |SELECT CAST(min(v) AS BIGINT) AS v, xv FROM deg
+      |GROUP BY xv ORDER BY xv""".stripMargin)
+
+  /** Invert of the retailprice sort permutation: rank → partkey. */
+  def vecInvertSql: String =
+    """SELECT CAST(rank AS BIGINT) AS v, CAST(p_partkey AS DOUBLE) AS xv
+      |FROM (SELECT p_partkey,
+      |             row_number() OVER (ORDER BY p_retailprice, p_partkey) - 1 AS rank
+      |      FROM part)
+      |ORDER BY v""".stripMargin
+
+  /** Concatenate(deg, deg[xv≥100], offset=1000000). */
+  def vecConcatSql: String = withBoth(
+    """, deg AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS xv
+      |           FROM edges GROUP BY src)
+      |SELECT v, xv FROM deg
+      |UNION ALL
+      |SELECT v + 1000000 AS v, xv FROM deg WHERE xv >= 100
+      |ORDER BY v""".stripMargin)
+
+  /** Gather out(v) = dense(deg(v)) with dense(v) = (v·37) mod 1001.
+    * Inner-join semantics: indices absent from the dense table drop, in
+    * both engines. */
+  def vecGatherSql: String = withBoth(
+    """, deg AS (SELECT src AS v, count(*) AS d FROM edges GROUP BY src)
+      |SELECT deg.v AS v, CAST((verts.v * 37) % 1001 AS DOUBLE) AS xv
+      |FROM deg JOIN verts ON verts.v = deg.d
+      |ORDER BY v""".stripMargin)
+
+  /** ScatterMin: degree vector min-merged with per-target min of incoming
+    * src%50 updates; vertices with no update keep their value. All values
+    * integral doubles — exact. */
+  def vecScatterMinSql: String = withBoth(
+    """, deg AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS xv
+      |           FROM edges GROUP BY src),
+      |upd AS (SELECT dst AS v, min(CAST(src % 50 AS DOUBLE)) AS u
+      |        FROM edges GROUP BY dst)
+      |SELECT deg.v AS v, least(deg.xv, COALESCE(upd.u, deg.xv)) AS xv
+      |FROM deg LEFT JOIN upd ON deg.v = upd.v
+      |ORDER BY v""".stripMargin)
+
+  /** Column reduce (transpose of reduceRows). */
+  def reduceColsSql: String = withBoth(
+    """SELECT dst AS v, CAST(count(*) AS BIGINT) AS nnz, sum(w) AS wsum
+      |FROM wedges GROUP BY dst ORDER BY v""".stripMargin)
+
+  /** MinElement (global argmin, index tiebreak) of the degree vector. */
+  def vecMinEltSql: String = withBoth(
+    """, deg AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS xv
+      |           FROM edges GROUP BY src)
+      |SELECT v, xv FROM deg ORDER BY xv ASC, v ASC LIMIT 1""".stripMargin)
+
+  /** operator+= / MultiwayMerge: A ⊕ A(w≥2) under (+,*) — per-coordinate
+    * union summed. ≤2 integral-double addends per cell: exact. */
+  def matrixAddSql: String = withBoth(
+    """SELECT src, dst, sum(w) AS w FROM (
+      |  SELECT src, dst, w FROM wedges
+      |  UNION ALL
+      |  SELECT src, dst, w FROM wedges WHERE w >= 2)
+      |GROUP BY src, dst ORDER BY src, dst""".stripMargin)
+
   def dictPartsSql: String =
     """SELECT p_name, CAST(row_number() OVER (ORDER BY p_name) - 1 AS BIGINT) AS vid
       |FROM (SELECT DISTINCT p_name FROM part) ORDER BY p_name""".stripMargin
