@@ -5,44 +5,35 @@ import org.apache.spark.sql.functions._
 import graft.graph.LinkGraph
 import graft.kernels._
 import graft.linalg.{PlusTimes, SpMV}
+import graft.util.Sentinel
 
 /** Benchmark driver. Builds the link graph ONCE (persisted — the analog of
-  * the one-time DCSC build), then times the flagship kernels. Prints one
-  * JSON line:
+  * the one-time DCSC build), then times the flagship kernels plus the
+  * heavy round-3/4 operators (bool_spgemm, galerkin, mcl_clusters,
+  * dedup_lsh_pairs — perf-relevant queries whose regressions would
+  * otherwise ship silently). Prints one JSON line:
   *   {"metric":"total","value":S,"unit":"sec","queries":{...},"sf":...,
   *    "cpus":N,"nnz":E,"pagerank_eps":EPS,
-  *    "sentinel_pre_sec":...,"sentinel_post_sec":...,
-  *    "sentinel_drift":...,"valid":true|false}
+  *    "sentinel_samples":K,"sentinel_min_sec":...,"sentinel_max_sec":...,
+  *    "sentinel_drift":...,"cpu_util":...,"valid":true|false}
   * pagerank_eps = iterations × nnz / seconds — the edges/sec SpMV
   * throughput of BASELINE.json (TEPS-style, reference TopDownBFS.cpp:460).
   *
-  * Contention sentinel: a fixed single-thread spin is timed before and
-  * after the suite. On an idle box the two times agree within a few
-  * percent; a concurrent JVM (compile, test run) on the same box inflates
-  * one of them. drift = max/min of the two; drift > 1.3 marks the run
-  * `valid: false` — the measurement was contaminated by external load and
-  * must be rerun, not published (this exact failure produced the driver's
-  * round-2 bench JSON, 2.1× the clean numbers).
+  * Contention sentinel ([[graft.util.Sentinel]]): pre/post single-thread
+  * spins (steady-load detector) PLUS a background thread sampling
+  * other-process CPU from /proc every ~5 s for the WHOLE run — any
+  * contaminated window marks the run `valid: false` (rerun, don't
+  * publish). The round-4 artifact was poisoned by a load that started
+  * after the pre-run spin and ended before the post-run spin — the
+  * mid-run /proc sampler closes that blind spot.
   *
   * Run at two parallelism levels (SPARK_GRAFT_CPUS=8 vs 32) on the same
   * input to evidence scaling efficiency (BASELINE.md).
   */
 object Bench {
 
-  /** Fixed single-thread spin (~0.3s on an idle core): splitmix64 chain,
-    * result consumed so the JIT cannot elide the loop. */
-  def sentinelSpin(): Double = {
-    val t0 = System.nanoTime()
-    var x = 0x9e3779b97f4a7c15L
-    var i = 0
-    while (i < 60000000) {
-      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-      i += 1
-    }
-    if (x == 42L) println("") // consume
-    (System.nanoTime() - t0) / 1e9
-  }
+  /** Retained for compatibility with older scripts/specs. */
+  def sentinelSpin(): Double = new Sentinel().spin()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -71,8 +62,8 @@ object Bench {
     // JIT/IO warmup: one SpMV round
     SpMV(edges, verts.select(col("v"), lit(1.0).as("xv")), PlusTimes).count()
 
-    sentinelSpin() // JIT warm the sentinel loop itself
-    val sentinelPre = sentinelSpin()
+    val sentinel = new Sentinel()
+    sentinel.start()
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -108,19 +99,25 @@ object Bench {
     results("ann_topk") = time {
       sim.Ann.cosineTopK(Tables.embeddings(spark, sfDir), 20, 5).count()
     }
+    // Heavy gate queries (exact gate plans via SparkEntry): a regression
+    // in the 202M-row boolean product, the S·A·Sᵀ triple product, the
+    // FP-pinned MCL gate mode, or the capped LSH pair join must show up
+    // in the round artifact, not only in the sf0.01 correctness gate.
+    results("bool_spgemm") = time { SparkEntry.queries("bool_spgemm")(spark, sfDir).count() }
+    results("galerkin") = time { SparkEntry.queries("galerkin")(spark, sfDir).count() }
+    results("mcl_clusters") = time { SparkEntry.queries("mcl_clusters")(spark, sfDir).count() }
+    results("dedup_lsh_pairs") = time { SparkEntry.queries("dedup_lsh_pairs")(spark, sfDir).count() }
 
-    val sentinelPost = sentinelSpin()
-    val drift = math.max(sentinelPre, sentinelPost) /
-      math.max(1e-9, math.min(sentinelPre, sentinelPost))
-    val valid = drift <= 1.3
+    val rep = sentinel.stop()
 
     val eps = prIters.toLong * nnz / results("pagerank")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"vertices":$nv,"nnz":$nnz,"pagerank_eps":$eps%.0f,"sentinel_pre_sec":$sentinelPre%.3f,"sentinel_post_sec":$sentinelPost%.3f,"sentinel_drift":$drift%.3f,"valid":$valid}""")
-    if (!valid)
-      System.err.println(f"[bench] WARNING: sentinel drift $drift%.2fx > 1.3x — " +
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"vertices":$nv,"nnz":$nnz,"pagerank_eps":$eps%.0f,${rep.json}}""")
+    if (!rep.valid)
+      System.err.println(f"[bench] WARNING: sentinel drift ${rep.drift}%.2fx / " +
+        f"external CPU mean ${rep.extMean}%.2f max ${rep.extMax}%.2f cores — " +
         "external load contaminated this run; numbers are NOT publishable")
     spark.stop()
   }

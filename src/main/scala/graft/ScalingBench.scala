@@ -37,6 +37,20 @@ object ScalingBench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Contention sentinel (graft.util.Sentinel): pre/post spins + mid-run
+    // other-process CPU sampling; every emitted line carries the report and
+    // `valid`. Legs are run one at a time on an idle box — a false `valid`
+    // means rerun, not publish.
+    val sentinel = new graft.util.Sentinel()
+    sentinel.start()
+    def emit(json: String): Unit = {
+      val rep = sentinel.stop()
+      println(json.stripSuffix("}") + "," + rep.json + "}")
+      if (!rep.valid)
+        System.err.println(f"[scalebench] WARNING: sentinel drift ${rep.drift}%.2fx / " +
+          f"external CPU mean ${rep.extMean}%.2f max ${rep.extMax}%.2f cores — contaminated leg")
+    }
+
     val mode = if (args.length > 2) args(2) else "plain"
     // Text/embedding modes synthesize their own corpus (scale = log2 rows)
     // and never build the graph.
@@ -68,7 +82,7 @@ object ScalingBench {
       val t0 = System.nanoTime()
       val sigs = graft.dedup.Dedup.minhash(docs).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"metric":"minhash_docs_per_sec","value":${n / sec}%.0f,"unit":"docs/sec","sec":$sec%.2f,"docs":$n,"sigs":$sigs,"scale":$scale,"cpus":$cpus,"parts":$parts}""")
+      emit(f"""{"metric":"minhash_docs_per_sec","value":${n / sec}%.0f,"unit":"docs/sec","sec":$sec%.2f,"docs":$n,"sigs":$sigs,"scale":$scale,"cpus":$cpus,"parts":$parts}""")
     } else if (mode == "ann") {
       // Multi-table LSH ANN over deterministic synthetic embeddings
       // (64-dim, splitmix-derived). Bucketed candidate join + exact
@@ -91,7 +105,7 @@ object ScalingBench {
       val rows = graft.sim.Ann.multiTableTopK(emb, 4096, 10, bits = 16,
         tables = 4, bucketCap = 1000).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"metric":"ann_vecs_per_sec","value":${n / sec}%.0f,"unit":"vecs/sec","sec":$sec%.2f,"vecs":$n,"result_rows":$rows,"scale":$scale,"cpus":$cpus,"parts":$parts}""")
+      emit(f"""{"metric":"ann_vecs_per_sec","value":${n / sec}%.0f,"unit":"vecs/sec","sec":$sec%.2f,"vecs":$n,"result_rows":$rows,"scale":$scale,"cpus":$cpus,"parts":$parts}""")
     } else if (mode == "skew") {
       // Adversarial-skew pipeline evidence: ONE boilerplate doc duplicated
       // nDup times (hot LSH buckets in every band + one hot exact-dedup
@@ -142,7 +156,7 @@ object ScalingBench {
       val (lshSkwSec, lshSkwPairs) = timed(graft.dedup.Dedup.lshCandidates(skw).count())
       val (clUniSec, _) = timed(clean(uni))
       val (clSkwSec, _) = timed(clean(skw))
-      println(f"""{"metric":"skew_delta","value":${lshSkwSec / lshUniSec}%.2f,"unit":"ratio","lsh_uniform_sec":$lshUniSec%.1f,"lsh_skew_sec":$lshSkwSec%.1f,"lsh_uniform_pairs":$lshUniPairs,"lsh_skew_pairs":$lshSkwPairs,"clean_uniform_sec":$clUniSec%.1f,"clean_skew_sec":$clSkwSec%.1f,"clean_delta":${clSkwSec / clUniSec}%.2f,"docs":$nDocs,"dups":$nDup,"scale":$scale,"cpus":$cpus,"parts":$parts}""")
+      emit(f"""{"metric":"skew_delta","value":${lshSkwSec / lshUniSec}%.2f,"unit":"ratio","lsh_uniform_sec":$lshUniSec%.1f,"lsh_skew_sec":$lshSkwSec%.1f,"lsh_uniform_pairs":$lshUniPairs,"lsh_skew_pairs":$lshSkwPairs,"clean_uniform_sec":$clUniSec%.1f,"clean_skew_sec":$clSkwSec%.1f,"clean_delta":${clSkwSec / clUniSec}%.2f,"docs":$nDocs,"dups":$nDup,"scale":$scale,"cpus":$cpus,"parts":$parts}""")
     } else if (mode == "bfs") {
       // Graph500-style: TEPS per root over K roots, harmonic mean
       // (reference TopDownBFS.cpp:460, 512-524; MTEPS = edges/sec/1e6).
@@ -174,7 +188,7 @@ object ScalingBench {
         traversed / sec
       }
       val harmonic = teps.length / teps.map(1.0 / _).sum
-      println(f"""{"metric":"bfs_harmonic_teps","value":$harmonic%.0f,"unit":"edges/sec","mode":"bitmap","roots":$k,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+      emit(f"""{"metric":"bfs_harmonic_teps","value":$harmonic%.0f,"unit":"edges/sec","mode":"bitmap","roots":$k,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
     } else if (mode == "bfs_rel") {
       // the round-2 relational direction-optimizing path, same timing
       // boundary, for the BENCH.md before/after comparison
@@ -195,7 +209,7 @@ object ScalingBench {
         traversed / sec
       }
       val harmonic = teps.length / teps.map(1.0 / _).sum
-      println(f"""{"metric":"bfs_harmonic_teps","value":$harmonic%.0f,"unit":"edges/sec","mode":"relational","roots":$k,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+      emit(f"""{"metric":"bfs_harmonic_teps","value":$harmonic%.0f,"unit":"edges/sec","mode":"relational","roots":$k,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
     } else if (mode == "bfs_bcast") {
       // round-1 behavior for comparison: pure top-down, unconditional
       // frontier broadcast (alpha=0 disables bottom-up; huge broadcastMax
@@ -217,7 +231,7 @@ object ScalingBench {
         traversed / ((System.nanoTime() - t0) / 1e9)
       }
       val harmonic = teps.length / teps.map(1.0 / _).sum
-      println(f"""{"metric":"bfs_harmonic_teps","value":$harmonic%.0f,"unit":"edges/sec","mode":"bcast_topdown","roots":$k,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+      emit(f"""{"metric":"bfs_harmonic_teps","value":$harmonic%.0f,"unit":"edges/sec","mode":"bcast_topdown","roots":$k,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
     } else if (mode == "sssp") {
       val we = edges.withColumn("w", ((col("src") * 31 + col("dst")) % 5 + 1).cast("double"))
         .persist()
@@ -227,7 +241,7 @@ object ScalingBench {
       val t0 = System.nanoTime()
       val n = graft.kernels.SSSP.run(we, root).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"metric":"sssp_sec","value":$sec%.2f,"unit":"sec","reached":$n,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+      emit(f"""{"metric":"sssp_sec","value":$sec%.2f,"unit":"sec","reached":$n,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
     } else if (mode == "lp") {
       // label propagation (argmax-count semiring), fixed 5 rounds — one of
       // the four north-rule flagship kernels
@@ -235,7 +249,7 @@ object ScalingBench {
       val t0 = System.nanoTime()
       graft.kernels.LabelPropagation.run(edges, verts, rounds = 5).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"metric":"lp_sec","value":$sec%.2f,"unit":"sec","rounds":5,"edges_per_sec_round":${5L * nnz / sec}%.0f,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+      emit(f"""{"metric":"lp_sec","value":$sec%.2f,"unit":"sec","rounds":5,"edges_per_sec_round":${5L * nnz / sec}%.0f,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
     } else if (mode == "tricnt") {
       // masked-SpGEMM triangle count (degree-ordered orientation) — the
       // fourth north-rule flagship kernel. Warm up on a vertex-induced
@@ -245,7 +259,7 @@ object ScalingBench {
       val t0 = System.nanoTime()
       val tri = graft.kernels.Triangles.count(edges).collect()(0).getLong(0)
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"metric":"tricnt_sec","value":$sec%.2f,"unit":"sec","triangles":$tri,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+      emit(f"""{"metric":"tricnt_sec","value":$sec%.2f,"unit":"sec","triangles":$tri,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
     } else if (mode == "cc") {
       // in-memory label-vector kernel, build/rounds split reported
       // (Graph500-style kernel-1/kernel-2 boundary)
@@ -262,7 +276,7 @@ object ScalingBench {
       blocks.unpersist(false)
       val buildSec = (t1 - t0) / 1e9; val roundsSec = (t2 - t1) / 1e9
       val sec = (t2 - t0) / 1e9
-      println(f"""{"metric":"cc_sec","value":$sec%.2f,"unit":"sec","mode":"array","build_sec":$buildSec%.2f,"rounds_sec":$roundsSec%.2f,"rounds":${graft.kernels.BlockCC.lastRounds},"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+      emit(f"""{"metric":"cc_sec","value":$sec%.2f,"unit":"sec","mode":"array","build_sec":$buildSec%.2f,"rounds_sec":$roundsSec%.2f,"rounds":${graft.kernels.BlockCC.lastRounds},"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
     } else if (mode == "cc_rel") {
       val bmax = sys.env.getOrElse("SPARK_GRAFT_CC_BCAST", "1000000").toLong
       // JIT/shuffle warmup only — two capped iterations, not a full run
@@ -272,7 +286,7 @@ object ScalingBench {
       graft.kernels.ConnectedComponents.run(edges, verts, broadcastMax = bmax,
         arrayMax = 0L).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"metric":"cc_sec","value":$sec%.2f,"unit":"sec","mode":"relational","scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts,"bcastMax":$bmax}""")
+      emit(f"""{"metric":"cc_sec","value":$sec%.2f,"unit":"sec","mode":"relational","scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts,"bcastMax":$bmax}""")
     } else if (mode == "pr_array") {
       // in-memory rank-vector PageRank: build (kernel-1) and iterations
       // (kernel-2) split, same boundary as the bfs/cc array modes
@@ -295,21 +309,21 @@ object ScalingBench {
       blocks.unpersist(false)
       val buildSec = (t1 - t0) / 1e9
       val iterSec = (t2 - t1) / 1e9 / iters
-      println(f"""{"metric":"pagerank_eps","value":${nnz / iterSec}%.0f,"unit":"edges/sec","mode":"array","build_sec":$buildSec%.2f,"iter_sec":$iterSec%.3f,"iters":$iters,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+      emit(f"""{"metric":"pagerank_eps","value":${nnz / iterSec}%.0f,"unit":"edges/sec","mode":"array","build_sec":$buildSec%.2f,"iter_sec":$iterSec%.3f,"iters":$iters,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
     } else if (mode == "blocked") {
       val bs = 1 << math.max(10, scale - 3) // ~8x8 block grid
       graft.kernels.PageRankBlocked.run(edges, verts, bs, 1).count() // warmup
       val t0 = System.nanoTime()
       graft.kernels.PageRankBlocked.run(edges, verts, bs, iters).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"metric":"pagerank_eps","value":${iters * nnz / sec}%.0f,"unit":"edges/sec","sec":$sec%.2f,"mode":"blocked","blockSize":$bs,"iters":$iters,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+      emit(f"""{"metric":"pagerank_eps","value":${iters * nnz / sec}%.0f,"unit":"edges/sec","sec":$sec%.2f,"mode":"blocked","blockSize":$bs,"iters":$iters,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
     } else {
       // warmup (JIT + code paths)
       PageRank.profile(edges, verts, 1)
       val (prepSec, iterSec) = PageRank.profile(edges, verts, iters)
       val sec = prepSec + iterSec * iters
       val eps = nnz / iterSec
-      println(f"""{"metric":"pagerank_eps","value":$eps%.0f,"unit":"edges/sec","sec":$sec%.2f,"prep_sec":$prepSec%.2f,"iter_sec":$iterSec%.3f,"iters":$iters,"scale":$scale,"edgefactor":$ef,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+      emit(f"""{"metric":"pagerank_eps","value":$eps%.0f,"unit":"edges/sec","sec":$sec%.2f,"prep_sec":$prepSec%.2f,"iter_sec":$iterSec%.3f,"iters":$iters,"scale":$scale,"edgefactor":$ef,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
     }
     spark.stop()
   }
