@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default: the bench suite's heavy operators (bool_spgemm's 202M-row
+  // product, MCL expansion) thrash an 8g heap at sf0.1 (TaskMemoryManager
+  // page-allocation retries measured); the box has 125 GiB. Scaling legs
+  // still pin their own value via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

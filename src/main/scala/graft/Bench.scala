@@ -99,13 +99,20 @@ object Bench {
     results("ann_topk") = time {
       sim.Ann.cosineTopK(Tables.embeddings(spark, sfDir), 20, 5).count()
     }
-    // Heavy gate queries (exact gate plans via SparkEntry): a regression
-    // in the 202M-row boolean product, the S·A·Sᵀ triple product, the
-    // FP-pinned MCL gate mode, or the capped LSH pair join must show up
+    // Heavy operators: a regression in the 202M-row boolean product, the
+    // S·A·Sᵀ triple product, MCL, or the capped LSH pair join must show up
     // in the round artifact, not only in the sf0.01 correctness gate.
+    // bool_spgemm/galerkin/dedup_lsh_pairs run the exact gate plans; MCL
+    // runs the PRODUCTION path (chaos-terminated MarkovClustering.run) —
+    // the gate's FP-pinned mode sorts every operand group for hash
+    // exactness (707 s at sf0.1, 3.5× everything else combined) and its
+    // SpGEMM core is already covered by bool_spgemm.
     results("bool_spgemm") = time { SparkEntry.queries("bool_spgemm")(spark, sfDir).count() }
     results("galerkin") = time { SparkEntry.queries("galerkin")(spark, sfDir).count() }
-    results("mcl_clusters") = time { SparkEntry.queries("mcl_clusters")(spark, sfDir).count() }
+    results("mcl") = time {
+      MarkovClustering.run(graft.graph.LinkGraph.weightedEdges(spark, sfDir),
+        graft.graph.LinkGraph.vertices(spark, sfDir)).count()
+    }
     results("dedup_lsh_pairs") = time { SparkEntry.queries("dedup_lsh_pairs")(spark, sfDir).count() }
 
     val rep = sentinel.stop()

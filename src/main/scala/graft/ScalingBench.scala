@@ -250,6 +250,17 @@ object ScalingBench {
       graft.kernels.LabelPropagation.run(edges, verts, rounds = 5).count()
       val sec = (System.nanoTime() - t0) / 1e9
       emit(f"""{"metric":"lp_sec","value":$sec%.2f,"unit":"sec","rounds":5,"edges_per_sec_round":${5L * nnz / sec}%.0f,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+    } else if (mode == "lp_conv") {
+      // One-off probe: how many labels CHANGE per LP round on RMAT? Decides
+      // whether a frontier (recompute only neighborhoods that changed) can
+      // pay on the benched input — it only can if rounds 2+ shrink.
+      val changed = (1 to 5).map { k =>
+        val a = graft.kernels.LabelPropagation.run(edges, verts, rounds = k - 1)
+          .withColumnRenamed("label", "la")
+        val b = graft.kernels.LabelPropagation.run(edges, verts, rounds = k)
+        a.join(b, Seq("vid")).where(col("la") =!= col("label")).count()
+      }
+      emit(f"""{"metric":"lp_changed_per_round","value":${changed.last},"unit":"vertices","rounds":${changed.mkString("[", ",", "]")},"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
     } else if (mode == "tricnt") {
       // masked-SpGEMM triangle count (degree-ordered orientation) — the
       // fourth north-rule flagship kernel. Warm up on a vertex-induced

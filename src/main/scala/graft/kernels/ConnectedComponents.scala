@@ -25,8 +25,18 @@ import graft.linalg.{Select2ndMin, SpMV}
   *  - the edge table is persisted ONCE (pre-partitioned by src in the
   *    shuffle-join regime) — per iteration only the n-row label vector
   *    moves, never the edges;
-  *  - f ⋈ mngp is computed once and reused by hooking (round 1 of this
-  *    engine joined it twice);
+  *  - CHANGE-VECTOR frontier (round 5): labels are monotone non-increasing,
+  *    so the neighbor-min vector mngp is maintained INCREMENTALLY —
+  *    mngp'(v) = min(mngp(v), min over changed neighbors u of f'(u)).
+  *    Only round 1 pays the full O(E) SpMV join + aggregate; every later
+  *    round scans the cached edges once sequentially (a codegen'd hash
+  *    probe against the shrinking changed set) and aggregates only
+  *    O(Σ deg(changed)) rows. The per-round O(E) hash aggregation — the
+  *    DRAM-latency term that capped the scale-23 2→8-core pair at 0.53 —
+  *    exists only while the frontier is dense. Values are integer mins,
+  *    so per-round labels are bit-identical to the full recompute;
+  *  - f ⋈ mngp is fused into one (v, label, mngp) state frame (round 1 of
+  *    this engine joined them twice);
   *  - `hooks` (one row per live label) and the shortcut `labelMap` SHRINK
   *    geometrically: once the live-label count — tracked exactly by the
   *    convergence scan, and never increasing — drops under the broadcast
@@ -118,26 +128,50 @@ object ConnectedComponents {
     val eP = (if (bcast) e else e.repartition(col("src"))).persist()
     val nnz = eP.count()
     val resumed = store.flatMap(_.latest())
-    var f = resumed match {
+    val f0 = resumed match {
       case Some(s) => cp(store.get.load(edges.sparkSession, s))
       case None =>
         val init = cp(connected.select(col("v"), col("v").as("label")))
         store.foreach(_.commit(init, 0, nnz, 0L))
         init
     }
+    // The loop state fuses the label vector with the maintained
+    // neighbor-min: (v, label, mngp) where mngp(v) = min over neighbors u
+    // of label(u). Built with ONE full SpMV here; every round after merges
+    // only the changed vertices' new labels in (labels are monotone
+    // non-increasing, so the min can never need un-doing). Every connected
+    // vertex has an in-neighbor (edges are symmetric), so the coalesce
+    // never actually fires — it is belt-and-braces for degenerate inputs.
+    val mngp0 = SpMV(eP, f0.select(col("v"), col("label").as("xv")),
+        Select2ndMin, broadcastX = bcast)
+      .select(col("v"), col("yv").as("mngp"))
+    var state = cp(f0.join(mngp0, Seq("v"), "left")
+      .select(col("v"), col("label"),
+        coalesce(col("mngp"), col("label")).as("mngp")))
+    cp.free(f0)
     // Sum as DECIMAL(38) so 10^12 × 10^12-scale ids can't overflow.
     def scan(df: DataFrame): (java.math.BigDecimal, Long) = {
       val r = df.agg(sum(col("label").cast("decimal(38,0)")),
         count_distinct(col("label"))).first()
       (r.getDecimal(0), r.getLong(1))
     }
+    // In-loop variant: the frame carries oldLabel, so the changed-vertex
+    // count rides the same one-scan aggregate (it gates the frontier
+    // broadcasts below — labelCount is NOT a bound on it: one surviving
+    // label can still mean millions of vertices that just adopted it).
+    def scan3(df: DataFrame): (java.math.BigDecimal, Long, Long) = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)")),
+        count_distinct(col("label")),
+        count(when(col("label") =!= col("oldLabel"), 1))).first()
+      (r.getDecimal(0), r.getLong(1), r.getLong(2))
+    }
     // On resume the convergence state comes from the same one-scan
     // aggregate over the loaded vector (an extra fixpoint round is a no-op
     // by label monotonicity, so a run resumed at convergence still ends
     // with identical labels).
     var (prevSum, labelCount) = resumed match {
-      case Some(_) => scan(f)
-      case None => (scan(f)._1, nVerts) // live labels never grow
+      case Some(_) => scan(state)
+      case None => (scan(state)._1, nVerts) // live labels never grow
     }
     var changed = true
     var it = resumed.map(_.iteration).getOrElse(0)
@@ -146,46 +180,67 @@ object ConnectedComponents {
       it += 1
       def small(df: DataFrame): DataFrame =
         if (labelCount < SmallMax) broadcast(df) else df
-      // 1. neighbor-min of current labels
-      val mngp = SpMV(eP, f.select(col("v"), col("label").as("xv")), Select2ndMin,
-          broadcastX = bcast)
-        .select(col("v"), col("yv").as("mngp"))
-      val fm = f.join(mngp, Seq("v"), "left")
-      // 2. hook + spread: candidate per tree, folded back to all members
-      val hooks = fm.groupBy(col("label")).agg(min(col("mngp")).as("cand"))
-      val hooked = fm.join(small(hooks), Seq("label"), "left")
-        .select(col("v"),
-          least(col("label"),
-            coalesce(col("mngp"), col("label")),
-            coalesce(col("cand"), col("label"))).as("label"))
-      // 3. shortcut against the label-restricted map (small after round 1).
+      // 1. hook + spread: candidate per tree, folded back to all members
+      //    (mngp comes from the maintained state, no per-round SpMV)
+      val hooks = state.groupBy(col("label")).agg(min(col("mngp")).as("cand"))
+      val hooked = state.join(small(hooks), Seq("label"), "left")
+        .select(col("v"), col("label").as("oldLabel"), col("mngp"),
+          least(col("label"), col("mngp"),
+            coalesce(col("cand"), col("label"))).as("hlabel"))
+      // 2. shortcut against the label-restricted map (small after round 1).
       // Post-hook label values are least(label, mngp, cand) — every one a
       // PRE-hook label of some vertex — so the map's domain is exactly
       // hooks' key set, already computed: no extra n-row distinct needed.
       val labelMap = hooked.join(small(hooks.select(col("label").as("v"))),
           Seq("v"), "left_semi")
-        .select(col("v").as("pv"), col("label").as("glabel"))
+        .select(col("v").as("pv"), col("hlabel").as("glabel"))
       // (A second pointer-jump per round was tried and measured SLOWER at
       // scale-22 — the extra materialization outweighs the saved rounds.)
-      val next = cp(hooked.join(small(labelMap), col("label") === col("pv"), "left")
-        .select(col("v"), coalesce(col("glabel"), col("label")).as("label")))
-      val (s, lc) = scan(next)
-      // 2 flops per stored edge per round: the Select2ndMin compare in the
-      // SpMV plus the hook/shortcut min fold.
-      store.foreach(_.commit(next, it, nnz, 2L * nnz))
+      val next = cp(hooked.join(small(labelMap), col("hlabel") === col("pv"), "left")
+        .select(col("v"), col("oldLabel"), col("mngp"),
+          coalesce(col("glabel"), col("hlabel")).as("label")))
+      val (s, lc, nChanged) = scan3(next)
+      // 2 flops per stored edge per round: the Select2ndMin compare folded
+      // into the maintained mngp merge plus the hook/shortcut min fold.
+      store.foreach(_.commit(next.select(col("v"), col("label")), it, nnz, 2L * nnz))
       changed = s.compareTo(prevSum) != 0
       prevSum = s
       labelCount = lc
-      cp.free(f)
-      f = next
+      cp.free(state)
+      if (changed) {
+        // 3. change-vector mngp maintenance: only edges OUT of vertices
+        // whose label just dropped can lower a neighbor's mngp. The join
+        // streams the cached edge table once (sequential probe against the
+        // changed build side — never a re-shuffle of the edges) and the
+        // aggregate sees only O(Σ deg(changed)) rows. deltas is
+        // checkpointed so its ROW COUNT (≤ Σ deg(changed) distinct dsts —
+        // nChanged alone does not bound it through hubs) can pick
+        // broadcast vs shuffle for the state merge for free.
+        val chg = next.filter(col("label") =!= col("oldLabel"))
+          .select(col("v").as("cv"), col("label").as("clabel"))
+        val chgJ = if (bcast || nChanged < SmallMax) broadcast(chg)
+                   else chg.hint("shuffle_hash")
+        val deltas = cp(eP.join(chgJ, eP("src") === col("cv"))
+          .groupBy(eP("dst").as("v")).agg(min(col("clabel")).as("d")))
+        val dJ = if (bcast || deltas.count() < SmallMax) broadcast(deltas)
+                 else deltas.hint("shuffle_hash")
+        state = cp(next.join(dJ, Seq("v"), "left")
+          .select(col("v"), col("label"),
+            least(col("mngp"), coalesce(col("d"), col("mngp"))).as("mngp")))
+        cp.free(deltas)
+        cp.free(next)
+      } else {
+        state = next
+      }
     }
     eP.unpersist(false)
     // `isolated` is an anti-join against `connected`, so the final result
-    // still reads the connected frame — keep it and the final f; free the
-    // superseded per-round frames (already freed in-loop; this catches the
-    // initial f when the loop ran zero rounds).
-    cp.freeAllExcept(f, connected)
-    f.unionByName(isolated.select(col("v"), col("v").as("label")))
+    // still reads the connected frame — keep it and the final state; free
+    // the superseded per-round frames (already freed in-loop; this catches
+    // the initial state when the loop ran zero rounds).
+    cp.freeAllExcept(state, connected)
+    state.select(col("v"), col("label"))
+      .unionByName(isolated.select(col("v"), col("v").as("label")))
       .select(col("v").as("vid"), col("label").as("component"))
   }
 }

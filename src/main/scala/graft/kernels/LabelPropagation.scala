@@ -52,8 +52,22 @@ object LabelPropagation {
                  stopAfter: Option[Int]): DataFrame = {
     val cp = new graft.util.Checkpoints(edges.sparkSession)
     val bcast = vertices.count() < BroadcastMax
-    val e = (if (bcast) edges.select("src", "dst")
-             else edges.select("src", "dst").repartition(col("src"))).persist()
+    // Int-pack the persisted edge cache when ids fit 2^31: the per-round
+    // join + double aggregate streams this table, and it is DRAM-bound at
+    // scale — 8 bytes/edge instead of 16. The label vector is projected to
+    // the same width before the join (cast on the edge side would break
+    // reuse of the build-once src partitioning); counts and the struct-max
+    // tiebreak are exact integer ops at either width, so results are
+    // identical.
+    val mm = edges.agg(
+      coalesce(greatest(max(col("src")), max(col("dst"))), lit(-1L)),
+      coalesce(least(min(col("src")), min(col("dst"))), lit(0L))).first()
+    val idType =
+      if (mm.getLong(1) >= 0 && mm.getLong(0) < Int.MaxValue.toLong) "int"
+      else "bigint"
+    val ePacked = edges.select(col("src").cast(idType).as("src"),
+      col("dst").cast(idType).as("dst"))
+    val e = (if (bcast) ePacked else ePacked.repartition(col("src"))).persist()
     val nnz = e.count()
     val resumed = store.flatMap(_.latest())
     var labels = resumed match {
@@ -66,7 +80,8 @@ object LabelPropagation {
     val from = resumed.map(_.iteration).getOrElse(0)
     val limit = stopAfter.map(s => math.min(s, rounds)).getOrElse(rounds)
     for (round <- from + 1 to limit) {
-      val lbl = labels.withColumnRenamed("v", "src")
+      val lbl = labels.select(col("v").cast(idType).as("src"),
+        col("label").cast(idType).as("label"))
       val counts = e.join(if (bcast) broadcast(lbl) else lbl.hint("shuffle_hash"), Seq("src"))
         .groupBy(col("dst").as("v"), col("label"))
         .agg(count(lit(1)).as("c"))
@@ -74,7 +89,8 @@ object LabelPropagation {
       // vertex ids, so max over (c, −label) structs picks it exactly
       val best = counts.groupBy("v")
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("v"), (-col("m.nl")).as("newLabel"))
+        .select(col("v").cast("long").as("v"),
+          (-col("m.nl")).cast("long").as("newLabel"))
       val prev = labels
       labels = cp(labels.join(best, Seq("v"), "left")
         .select(col("v"), coalesce(col("newLabel"), col("label")).as("label")))

@@ -32,9 +32,15 @@ object VectorIO {
   case class VHeader(len: Long, nnz: Long, headerBytes: Long)
 
   /** Parse the one-line header, tracking its exact byte length so the
-    * distributed body read can filter by line offset. */
-  def readHeader(path: String): VHeader = {
-    val in = new java.io.BufferedInputStream(new java.io.FileInputStream(path))
+    * distributed body read can filter by line offset. Goes through the
+    * Hadoop FileSystem API, so `path` may live on any configured store
+    * (HDFS, S3A, local) — the same resolution the body read gets from
+    * `newAPIHadoopFile`. */
+  def readHeader(path: String,
+                 conf: org.apache.hadoop.conf.Configuration =
+                   new org.apache.hadoop.conf.Configuration()): VHeader = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = new java.io.BufferedInputStream(p.getFileSystem(conf).open(p))
     try {
       val sb = new StringBuilder
       var bytes = 0L
@@ -53,7 +59,7 @@ object VectorIO {
   def read(spark: SparkSession, path: String, oneBased: Boolean = false,
            dup: Column => Column = max): DataFrame = {
     import spark.implicits._
-    val h = readHeader(path)
+    val h = readHeader(path, spark.sparkContext.hadoopConfiguration)
     val headerBytes = h.headerBytes
     val base = if (oneBased) 1L else 0L
     import org.apache.hadoop.io.{LongWritable, Text}
@@ -94,29 +100,32 @@ object VectorIO {
       .select(col("pind").as("ind"), col("value"))
 
   /** Write (ind, value) in the reference format: header then TAB-separated
-    * entries. Body written distributed; driver stitches header + parts
-    * (streaming, never materialized in memory). */
+    * entries. Body written distributed (Spark text sink — any Hadoop FS);
+    * the driver stitches header + part files through the same FileSystem
+    * API (streaming copy, never materialized in memory), so the target may
+    * be HDFS/S3A/local alike. */
   def write(vec: DataFrame, path: String, len: Long,
             oneBased: Boolean = false): Unit = {
-    import java.nio.file.{Files, Paths, StandardOpenOption}
+    import org.apache.hadoop.fs.Path
     val base = if (oneBased) 1L else 0L
     val nnz = vec.count()
     val bodyDir = path + ".body"
     vec.select(concat_ws("\t", col("ind") + base, col("value")).as("value"))
       .write.mode("overwrite").text(bodyDir)
-    val out = Paths.get(path)
-    Files.writeString(out, s"$len\t$nnz\n",
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    import scala.jdk.CollectionConverters._
-    val parts = Files.list(Paths.get(bodyDir))
+    val conf = vec.sparkSession.sparkContext.hadoopConfiguration
+    val out = new Path(path)
+    val fs = out.getFileSystem(conf)
+    val sink = fs.create(out, true)
     try {
-      val sink = Files.newOutputStream(out, StandardOpenOption.APPEND)
-      try
-        parts.iterator().asScala.toSeq
-          .filter(_.getFileName.toString.startsWith("part-"))
-          .sortBy(_.getFileName.toString)
-          .foreach { p => Files.copy(p, sink) }
-      finally sink.close()
-    } finally parts.close()
+      sink.write(s"$len\t$nnz\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      fs.listStatus(new Path(bodyDir)).toSeq
+        .filter(_.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName)
+        .foreach { st =>
+          val in = fs.open(st.getPath)
+          try org.apache.hadoop.io.IOUtils.copyBytes(in, sink, conf, false)
+          finally in.close()
+        }
+    } finally sink.close()
   }
 }
