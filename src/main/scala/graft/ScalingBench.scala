@@ -261,6 +261,25 @@ object ScalingBench {
         a.join(b, Seq("vid")).where(col("la") =!= col("label")).count()
       }
       emit(f"""{"metric":"lp_changed_per_round","value":${changed.last},"unit":"vertices","rounds":${changed.mkString("[", ",", "]")},"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+    } else if (mode == "ingest") {
+      // pages → extract → dictionary → edges — the first stage of every
+      // 100-TB run (north-rule ingest). The pages table (2^scale rows) is
+      // materialized FIRST (generation is embarrassingly parallel and would
+      // only flatter the pair); the timed region is the pipeline itself:
+      // html link extraction, url dictionary encode (the two global
+      // distincts), and the dictionary join + dedup.
+      val nPages = 1L << scale
+      val pages = graft.pages.PageGen.pages(spark, nPages)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pages.count()
+      graft.graph.WebGraph.build(pages.limit(10000)).edges.count() // JIT warm
+      val t0 = System.nanoTime()
+      val built = graft.graph.WebGraph.build(pages)
+      val nEdges = built.edges.count()
+      val nVerts = built.vertices.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      pages.unpersist(false)
+      emit(f"""{"metric":"ingest_pages_per_sec","value":${nPages / sec}%.0f,"unit":"pages/sec","sec":$sec%.2f,"pages":$nPages,"edges":$nEdges,"vertices":$nVerts,"scale":$scale,"cpus":$cpus,"parts":$parts}""")
     } else if (mode == "tricnt") {
       // masked-SpGEMM triangle count (degree-ordered orientation) — the
       // fourth north-rule flagship kernel. Warm up on a vertex-induced
@@ -320,7 +339,8 @@ object ScalingBench {
       blocks.unpersist(false)
       val buildSec = (t1 - t0) / 1e9
       val iterSec = (t2 - t1) / 1e9 / iters
-      emit(f"""{"metric":"pagerank_eps","value":${nnz / iterSec}%.0f,"unit":"edges/sec","mode":"array","build_sec":$buildSec%.2f,"iter_sec":$iterSec%.3f,"iters":$iters,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
+      val (phB, phJ, phD) = graft.kernels.PageRankArray.lastPhases
+      emit(f"""{"metric":"pagerank_eps","value":${nnz / iterSec}%.0f,"unit":"edges/sec","mode":"array","build_sec":$buildSec%.2f,"iter_sec":$iterSec%.3f,"iters":$iters,"bcast_sec":$phB%.2f,"job_sec":$phJ%.2f,"driver_sec":$phD%.2f,"scale":$scale,"nnz":$nnz,"cpus":$cpus,"parts":$parts}""")
     } else if (mode == "blocked") {
       val bs = 1 << math.max(10, scale - 3) // ~8x8 block grid
       graft.kernels.PageRankBlocked.run(edges, verts, bs, 1).count() // warmup

@@ -42,6 +42,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object PageRankArray {
 
+  /** Cumulative per-phase seconds of the last [[runOn]] call — broadcast
+    * (serialize + torrent write of the rank array), job (the SpMV stages
+    * through collect of merged segments), driver (merge/teleport array
+    * passes). Read by ScalingBench's pr_array mode so the scaling-pair
+    * analysis attributes the Amdahl term to a measured phase instead of a
+    * guess. Not thread-safe — bench-only. */
+  @volatile var lastPhases: (Double, Double, Double) = (0.0, 0.0, 0.0)
+
   /** Id spaces up to this merge partial segments on the driver (the whole
     * partial set is a few MB — an executor-side merge stage is pure
     * scheduling overhead there, measured +1.4 s over 10 iterations at
@@ -131,8 +139,12 @@ object PageRankArray {
     val driverMerge = nIds <= DriverMergeMax ||
       segCount * bs * 8L <= collectMaxBytes
 
+    var tBcast = 0.0; var tJob = 0.0; var tDriver = 0.0
     for (_ <- 1 to iters) {
+      val tb0 = System.nanoTime()
       val bcX = sc.broadcast(pr)
+      tBcast += (System.nanoTime() - tb0) / 1e9
+      val tj0 = System.nanoTime()
       // Stage 1: per-partition partial contribution segments, keyed by
       // rowBlock. Stage 2: merge the partials per rowBlock IN PARALLEL on
       // executors (the old driver-side merge of all partitions × rowBlocks
@@ -189,6 +201,8 @@ object PageRankArray {
               (rb, acc)
             }.collect()
       bcX.destroy() // public destroy() is non-blocking in Spark 4
+      tJob += (System.nanoTime() - tj0) / 1e9
+      val td0 = System.nanoTime()
 
       val y = new Array[Double](nIds)
       segs.foreach { case (rb, seg) =>
@@ -209,7 +223,9 @@ object PageRankArray {
         i += 1
       }
       pr = next
+      tDriver += (System.nanoTime() - td0) / 1e9
     }
+    lastPhases = (tBcast, tJob, tDriver)
 
     val bcPr = sc.broadcast(pr)
     val out = vertices.select(col("v").cast("long")).as[Long]

@@ -59,4 +59,72 @@ object DedupStreams {
           FpUpdate(fp, s.rep, s.n)
       }
   }
+
+  // ---------------------------------------------------------------------
+  // Streaming MinHash/LSH dedup — the incremental twin of
+  // [[graft.dedup.Dedup.lshCandidates]] for continuous-ingest pipelines.
+  // ---------------------------------------------------------------------
+
+  case class BucketState(members: Seq[Long], version: Long)
+  case class BucketUpdate(band: Int, bucket: String, members: Seq[Long],
+                          version: Long)
+
+  /** Per-doc MinHash band buckets, JVM-side — mirrors the batch column
+    * pipeline exactly ([[graft.dedup.Dedup.minhash]] → `lshBuckets`):
+    * distinct char k-shingles, sig_j = min over shingles of
+    * md5(j ‖ shingle) (hex-string min — ASCII, so the JVM's lexicographic
+    * String order equals Spark's UTF8 binary order), band b =
+    * md5(sig_{2b} ‖ sig_{2b+1}). Docs shorter than k shingle to nothing,
+    * as in the batch `where(length ≥ k)`. Pure per-doc function — the
+    * "incremental signature maintenance" is stateless by construction;
+    * only bucket MEMBERSHIP below is stateful. */
+  def sigBands(text: String, numHashes: Int = 8, k: Int = 5): Seq[(Int, String)] = {
+    if (text.length < k) return Seq.empty
+    val shingles = (0 to text.length - k).map(i => text.substring(i, i + k)).distinct
+    val sigs = (0 until numHashes).map { j =>
+      shingles.iterator.map(s => md5Hex(j.toString + s)).min
+    }
+    (0 until numHashes / 2).map(b => (b, md5Hex(sigs(2 * b) + sigs(2 * b + 1))))
+  }
+
+  /** Streaming LSH bucket-membership ledger: state per (band, bucket) is
+    * the `bucketCap` SMALLEST doc_ids seen — a min-semilattice merge, so
+    * the fixpoint is arrival-order- and micro-batching-free and equals the
+    * batch cap (`row_number ≤ cap` ordered by doc_id) exactly, including
+    * under eviction. Emits the updated membership per touched bucket with
+    * a per-key version so readers can select the latest row. State is
+    * O(cap) longs per live bucket — the same bound that keeps the batch
+    * join sub-quadratic keeps streaming state flat. */
+  def lshLedger(docs: Dataset[Doc], numHashes: Int = 8, k: Int = 5,
+                bucketCap: Int = 1000): Dataset[BucketUpdate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap(d => sigBands(d.text, numHashes, k)
+        .map { case (b, bk) => (b, bk, d.doc_id) })
+      .groupByKey(t => (t._1, t._2))
+      .mapGroupsWithState[BucketState, BucketUpdate](GroupStateTimeout.NoTimeout()) {
+        (key: (Int, String), batch: Iterator[(Int, String, Long)],
+         state: GroupState[BucketState]) =>
+          val prev = state.getOption.getOrElse(BucketState(Seq.empty, 0L))
+          val merged = (prev.members ++ batch.map(_._3))
+            .distinct.sorted.take(bucketCap)
+          val next = BucketState(merged, prev.version + 1)
+          state.update(next)
+          BucketUpdate(key._1, key._2, merged, next.version)
+      }
+  }
+
+  /** Candidate pairs at the ledger fixpoint: latest membership per
+    * (band, bucket) → within-bucket pairs a < b, distinct across buckets —
+    * the exact batch `lshCandidates` shape. */
+  def candidatesFromLedger(updates: DataFrame): DataFrame = {
+    val last = updates.groupBy(col("band"), col("bucket"))
+      .agg(max(struct(col("version"), col("members"))).as("m"))
+      .select(col("m.members").as("ms"))
+    last.select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
 }

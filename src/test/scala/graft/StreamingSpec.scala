@@ -85,6 +85,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "ledger fixpoint differs from batch exact()")
   }
 
+  test("streaming LSH ledger fixpoint == batch lshCandidates under shuffled batching") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DedupStreams
+    // 24 docs: three near-dup families (shared long prefixes → shared
+    // shingles/buckets), one 9-doc EXACT-dup family to exercise cap
+    // eviction (cap=4 < 9), and unique fillers. Shuffled ids so arrival
+    // order ≠ id order.
+    val fam = "the quick brown fox jumps over the lazy dog again and again"
+    val texts = Seq.tabulate(24) { i =>
+      if (i % 3 == 0) fam // 8 exact dups + one more below
+      else if (i % 3 == 1) fam + s" variant number $i tail"
+      else s"unique document body number $i with its own words entirely"
+    } :+ fam
+    val ids = Seq(17L, 3L, 21L, 8L, 12L, 1L, 24L, 6L, 19L, 10L, 2L, 15L,
+      23L, 5L, 11L, 20L, 7L, 14L, 25L, 4L, 18L, 9L, 13L, 22L, 16L)
+    val docs = ids.zip(texts).map { case (id, t) =>
+      DedupStreams.Doc(id, ts(id.toInt), t)
+    }
+    val cap = 4
+    // signature-path guard: JVM-side sigBands must reproduce the batch
+    // column pipeline's (doc_id, band, bucket) rows bit-for-bit
+    val docsDf = docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    val batchBuckets = graft.dedup.Dedup.lshBuckets(
+        graft.dedup.Dedup.minhash(docsDf, 8, 5), 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val jvmBuckets = docs.flatMap(d =>
+      DedupStreams.sigBands(d.text, 8, 5).map { case (b, bk) => (d.doc_id, b, bk) }).toSet
+    assert(jvmBuckets == batchBuckets, "JVM sigBands != batch column pipeline")
+    // streaming in shuffled micro-batches of 7
+    val input = MemoryStream[DedupStreams.Doc]
+    val q = DedupStreams.lshLedger(input.toDS(), 8, 5, cap)
+      .writeStream.format("memory").queryName("lshledger").outputMode("update").start()
+    docs.grouped(7).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = DedupStreams.candidatesFromLedger(spark.table("lshledger"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.dedup.Dedup.lshCandidates(docsDf, 8, 5, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, "LSH ledger fixpoint differs from batch lshCandidates")
+    assert(batch.nonEmpty, "fixture produced no candidate pairs — test is vacuous")
+  }
+
   test("streaming first-seen dedup keeps one row per fingerprint") {
     val spark2 = spark
     import spark2.implicits._
